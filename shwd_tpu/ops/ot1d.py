@@ -1,0 +1,249 @@
+"""One-dimensional optimal transport: on the line and on the circle.
+
+TPU-native, fully batched re-designs of the reference's 1D OT kernels:
+
+- ``emd1d``            exact W_p on the line via sort (the notebooks'
+                       ``sliced_wasserstein_distance`` inner kernel).
+- ``emd1d_circle``     exact W_1 on the circle via the level-median closed form
+                       (ref ``losses/max_spherical_sliced_w.py:210-247``).
+- ``circle_ot``        W_p (p >= 2) on the circle via the Delon–Salomon–
+                       Sobolevski binary search (ref ``:117-207``), rebuilt as
+                       a fixed-iteration ``lax.while_loop`` with masked
+                       updates so it is jittable and batched over (B*L,)
+                       problems at once — the reference loops Python batches.
+
+All functions take values in [0, 1) (circle) or R (line) with shape
+(..., n) and operate along the last axis. Weights are uniform (the only case
+the reference exercises); sorted inputs can skip the sort with
+``require_sort=False``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def batched_searchsorted(a: jax.Array, q: jax.Array, side: str = "left") -> jax.Array:
+    """searchsorted along the last axis, batched over leading dims.
+
+    a: (..., K) sorted, q: (..., Q) queries -> (..., Q) insertion indices.
+    Implemented as a comparison-count reduction ((..., Q, K) bool matrix), which
+    vectorizes on the VPU instead of the scalar bisection jnp.searchsorted
+    would need per batch row.
+    """
+    if side == "left":
+        lt = a[..., None, :] < q[..., :, None]
+    else:
+        lt = a[..., None, :] <= q[..., :, None]
+    return jnp.sum(lt.astype(jnp.int32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# W_p on the line
+# ---------------------------------------------------------------------------
+
+def emd1d(u: jax.Array, v: jax.Array, p: float = 2,
+          require_sort: bool = True) -> jax.Array:
+    """Exact W_p^p between empirical measures on the line (equal sizes).
+
+    u, v: (..., n). Returns (...,) — the p-th power of W_p (no root), matching
+    the notebook convention ``mean |sort(u) - sort(v)|^p``.
+    """
+    if u.shape[-1] != v.shape[-1]:
+        return emd1d_general(u, v, p=p, require_sort=require_sort)
+    if require_sort:
+        u = jnp.sort(u, axis=-1)
+        v = jnp.sort(v, axis=-1)
+    return jnp.mean(jnp.abs(u - v) ** p, axis=-1)
+
+
+def emd1d_general(u: jax.Array, v: jax.Array, p: float = 2,
+                  require_sort: bool = True) -> jax.Array:
+    """Exact W_p^p on the line for unequal sizes n != m, uniform weights.
+
+    Quantile-function formulation: integrate |F_u^{-1} - F_v^{-1}|^p over the
+    merged CDF grid. Static shapes: the merged grid has n + m entries.
+    """
+    n, m = u.shape[-1], v.shape[-1]
+    if require_sort:
+        u = jnp.sort(u, axis=-1)
+        v = jnp.sort(v, axis=-1)
+    u_cdf = (jnp.arange(1, n + 1, dtype=u.dtype)) / n
+    v_cdf = (jnp.arange(1, m + 1, dtype=v.dtype)) / m
+    grid = jnp.sort(jnp.concatenate(
+        [jnp.broadcast_to(u_cdf, u.shape), jnp.broadcast_to(v_cdf, v.shape)],
+        axis=-1), axis=-1)
+    delta = jnp.diff(grid, axis=-1, prepend=0.0)
+    # inverse CDF at grid points: index = ceil(grid * n) - 1
+    ui = jnp.clip(jnp.ceil(grid * n - 1e-9).astype(jnp.int32) - 1, 0, n - 1)
+    vi = jnp.clip(jnp.ceil(grid * m - 1e-9).astype(jnp.int32) - 1, 0, m - 1)
+    u_icdf = jnp.take_along_axis(u, ui, axis=-1)
+    v_icdf = jnp.take_along_axis(v, vi, axis=-1)
+    return jnp.sum(delta * jnp.abs(u_icdf - v_icdf) ** p, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# W_1 on the circle — level-median closed form
+# ---------------------------------------------------------------------------
+
+def emd1d_circle(u: jax.Array, v: jax.Array, require_sort: bool = True) -> jax.Array:
+    """Exact W_1 between empirical measures on the circle [0, 1).
+
+    Level-median formulation (ref ``max_spherical_sliced_w.py:210-247``):
+    W_1 = integral_0^1 |F_u - F_v - med| with med the weighted median of the
+    CDF difference. Batched over all leading dims. Sizes may differ.
+
+    Deviation from the reference (deliberate bug fix): the reference's
+    integral runs over [min_sample, 1) only, dropping the wrap segment
+    [0, min_sample) where F_u - F_v = 0 — which biases W_1 low by O(1/n)
+    (verified against an assignment-LP oracle on the circular cost). Here the
+    extra segment participates in both the median and the integral.
+    """
+    n, m = u.shape[-1], v.shape[-1]
+    dtype = u.dtype
+    if require_sort:
+        u = jnp.sort(u, axis=-1)
+        v = jnp.sort(v, axis=-1)
+    uw = jnp.full((n,), 1.0 / n, dtype)
+    vw = jnp.full((m,), 1.0 / m, dtype)
+
+    values = jnp.concatenate([u, v], axis=-1)
+    weights = jnp.concatenate(
+        [jnp.broadcast_to(uw, u.shape), jnp.broadcast_to(-vw, v.shape)], axis=-1)
+    order = jnp.argsort(values, axis=-1)
+    values_sorted = jnp.take_along_axis(values, order, axis=-1)
+    cdf_diff = jnp.cumsum(jnp.take_along_axis(weights, order, axis=-1), axis=-1)
+
+    # segments: [0, vs_0) with cdf 0 (wrap), [vs_k, vs_{k+1}), [vs_last, 1)
+    lead = values_sorted[..., :1]                       # length of wrap segment
+    zeros = jnp.zeros_like(lead)
+    ones = jnp.ones_like(lead)
+    seg_ends = jnp.concatenate([values_sorted, ones], axis=-1)
+    seg_starts = jnp.concatenate([zeros, values_sorted], axis=-1)
+    delta = seg_ends - seg_starts                       # (..., n+m+1)
+    cdf_ext = jnp.concatenate([zeros, cdf_diff], axis=-1)
+
+    # weighted median of cdf_ext with weights delta (the level median)
+    diff_order = jnp.argsort(cdf_ext, axis=-1)
+    cdf_sorted = jnp.take_along_axis(cdf_ext, diff_order, axis=-1)
+    w_sorted = jnp.take_along_axis(delta, diff_order, axis=-1)
+    csum = jnp.cumsum(w_sorted, axis=-1) - 0.5
+    csum = jnp.where(csum < 0, jnp.inf, csum)
+    idx = jnp.argmin(csum, axis=-1)
+    lev_med = jnp.take_along_axis(cdf_sorted, idx[..., None], axis=-1)
+
+    return jnp.sum(delta * jnp.abs(cdf_ext - lev_med), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# W_p (p >= 2) on the circle — binary search on the rotation parameter
+# ---------------------------------------------------------------------------
+
+def _shifted_target(theta, v_sorted, v_cdf):
+    """Shift the target measure by theta turns and re-anchor to [0,1)-ish coords.
+
+    Returns (v_vals, v_cdf_t) with v_cdf_t the target CDF evaluated against the
+    source's frame, both sorted so v_cdf_t is increasing, plus v_vals extended
+    by one wrap-around entry. Equivalent to the mask/roll dance of the
+    reference ``dCost`` (:25-57) but expressed with modular arithmetic and a
+    single argsort (static-shape, batch-friendly).
+    """
+    # fractional and integer part of theta
+    tfloor = jnp.floor(theta)
+    tfrac = theta - tfloor
+    v_cdf_t = v_cdf - tfrac
+    neg = v_cdf_t < 0
+    # negative entries wrap: cdf += 1, value += floor+1; others value += floor
+    v_vals = v_sorted + jnp.where(neg, tfloor + 1.0, tfloor)
+    v_cdf_t = jnp.where(neg, v_cdf_t + 1.0, v_cdf_t)
+    # sort so cdf increasing (wrapped entries move to the front)
+    order = jnp.argsort(v_cdf_t, axis=-1)
+    v_cdf_t = jnp.take_along_axis(v_cdf_t, order, axis=-1)
+    v_vals = jnp.take_along_axis(v_vals, order, axis=-1)
+    v_ext = jnp.concatenate([v_vals, v_vals[..., :1] + 1.0], axis=-1)
+    return v_ext, v_cdf_t
+
+
+def _dcost(theta, u_sorted, v_sorted, u_cdf, v_cdf, p):
+    """Left/right derivative of the circle transport cost wrt theta.
+
+    Vectorized counterpart of reference ``dCost`` (max_spherical_sliced_w.py:25-65).
+    theta: (..., 1) broadcastable; returns (dCp, dCm) each (..., 1).
+    """
+    n = u_sorted.shape[-1]
+    v_ext, v_cdf_t = _shifted_target(theta, v_sorted, v_cdf)
+
+    u_idx = batched_searchsorted(u_cdf, v_cdf_t, side="left")
+    u_icdf = jnp.take_along_axis(u_sorted, jnp.clip(u_idx, 0, n - 1), axis=-1)
+
+    u_cdf_m = jnp.concatenate([u_cdf, u_cdf[..., :1] + 1.0], axis=-1)
+    u_vals_m = jnp.concatenate([u_sorted, u_sorted[..., :1] + 1.0], axis=-1)
+    u_idx_m = batched_searchsorted(u_cdf_m, v_cdf_t, side="right")
+    u_icdf_m = jnp.take_along_axis(u_vals_m, jnp.clip(u_idx_m, 0, n), axis=-1)
+
+    dcp = jnp.sum(jnp.abs(u_icdf - v_ext[..., 1:]) ** p
+                  - jnp.abs(u_icdf - v_ext[..., :-1]) ** p, axis=-1, keepdims=True)
+    dcm = jnp.sum(jnp.abs(u_icdf_m - v_ext[..., 1:]) ** p
+                  - jnp.abs(u_icdf_m - v_ext[..., :-1]) ** p, axis=-1, keepdims=True)
+    return dcp, dcm
+
+
+def _cost_at(theta, u_sorted, v_sorted, u_cdf, v_cdf, p):
+    """Circle transport cost at shift theta (reference ``Cost``, :68-113)."""
+    n = u_sorted.shape[-1]
+    m = v_sorted.shape[-1]
+    v_ext, v_cdf_t = _shifted_target(theta, v_sorted, v_cdf)
+
+    cdf_axis = jnp.sort(jnp.concatenate([u_cdf, v_cdf_t], axis=-1), axis=-1)
+    delta = jnp.diff(cdf_axis, axis=-1, prepend=0.0)
+
+    u_idx = batched_searchsorted(u_cdf, cdf_axis, side="left")
+    u_icdf = jnp.take_along_axis(u_sorted, jnp.clip(u_idx, 0, n - 1), axis=-1)
+
+    v_ext2 = jnp.concatenate([v_ext, v_ext[..., :1] + 1.0], axis=-1)
+    v_idx = batched_searchsorted(v_cdf_t, cdf_axis, side="left")
+    v_icdf = jnp.take_along_axis(v_ext2, jnp.clip(v_idx, 0, m), axis=-1)
+
+    return jnp.sum(delta * jnp.abs(u_icdf - v_icdf) ** p, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_iter", "require_sort"))
+def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
+              max_iter: int = 40, require_sort: bool = True) -> jax.Array:
+    """Exact W_p^p on the circle (p >= 1) by binary search on the cut shift.
+
+    Batched over leading dims; each problem runs the Delon–Salomon–Sobolevski
+    search (ref ``binary_search_circle``) but with a bounded ``while_loop``
+    and ``where``-masked interval updates — no data-dependent Python control
+    flow. 40 halvings of [-1, 1] reach ~1e-12, far below eps.
+
+    Gradients flow through the final ``_cost_at`` evaluation with theta
+    detached (the reference likewise detaches tc), which is exact by the
+    envelope theorem at the optimum.
+    """
+    if require_sort:
+        u = jnp.sort(u, axis=-1)
+        v = jnp.sort(v, axis=-1)
+    n, m = u.shape[-1], v.shape[-1]
+    u_cdf = jnp.broadcast_to(jnp.arange(1, n + 1, dtype=u.dtype) / n, u.shape)
+    v_cdf = jnp.broadcast_to(jnp.arange(1, m + 1, dtype=v.dtype) / m, v.shape)
+
+    shape = u.shape[:-1] + (1,)
+    tm = jnp.full(shape, -1.0, u.dtype)
+    tp = jnp.full(shape, 1.0, u.dtype)
+
+    def body(i, carry):
+        tm, tp = carry
+        tc = (tm + tp) / 2.0
+        dcp, _ = _dcost(tc, u, v, u_cdf, v_cdf, p)
+        go_right = dcp < 0      # derivative negative -> optimum right of tc
+        tm = jnp.where(go_right, tc, tm)
+        tp = jnp.where(go_right, tp, tc)
+        return tm, tp
+
+    tm, tp = jax.lax.fori_loop(0, max_iter, body, (tm, tp))
+    tc = jax.lax.stop_gradient((tm + tp) / 2.0)
+    return _cost_at(tc, u, v, u_cdf, v_cdf, p)

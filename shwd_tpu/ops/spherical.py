@@ -1,0 +1,91 @@
+"""Spherical sliced-Wasserstein: great-circle projections + circular OT.
+
+TPU-native rebuild of the reference's SSW kernels
+(``losses/max_spherical_sliced_w.py:251-310`` and the batched variants in
+``max_spherical_sliced_w_fast.py:258-319``):
+
+1. draw L uniform rank-2 frames on the Stiefel manifold V_{3,2} via QR of
+   Gaussians;
+2. project each cloud onto each frame's plane, renormalize to S^1;
+3. angle coordinates t = (atan2(-y, -x) + pi) / (2 pi)  in [0, 1);
+4. exact circular OT per slice: closed-form W_1 or binary-search W_p.
+
+Everything is batched over (B, L) in one shot — including the p >= 2 search,
+which the reference runs in a Python loop per batch element
+(``max_spherical_sliced_w_fast.py:291-293``). The (B, L) axes are exactly the
+mesh-shardable axes in ``shwd_tpu.parallel`` (data x slices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .ot1d import circle_ot, emd1d_circle
+
+_TWO_PI = 2.0 * jnp.pi
+
+
+def stiefel_frames(key: jax.Array, num_projections: int, d: int = 3,
+                   batch_shape: tuple = ()) -> jax.Array:
+    """Uniform frames on V_{d,2}: QR of (..., L, d, 2) Gaussians.
+
+    Reference ``sliced_wasserstein_sphere`` :307-308 (and the per-batch
+    variant :317-318 of the fast file).
+    """
+    z = jax.random.normal(key, (*batch_shape, num_projections, d, 2))
+    q, _ = jnp.linalg.qr(z)
+    return q
+
+
+def project_to_circle(x: jax.Array, frames: jax.Array) -> jax.Array:
+    """Project points to angle coords in [0, 1) on each frame's great circle.
+
+    x: (..., N, 3); frames: (..., L, 3, 2) -> (..., L, N) angles.
+    The plane projection is one einsum (batched matmul over the MXU); the
+    angle convention matches the reference exactly
+    ((atan2(-y, -x) + pi) / 2pi, ``max_spherical_sliced_w.py:278-279``).
+    """
+    # (..., L, N, 2)
+    proj = jnp.einsum("...nd,...ldk->...lnk", x, frames)
+    norm = jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12)
+    proj = proj / norm
+    ang = (jnp.arctan2(-proj[..., 1], -proj[..., 0]) + jnp.pi) / _TWO_PI
+    return ang
+
+
+def sliced_cost_sphere(x: jax.Array, y: jax.Array, frames: jax.Array,
+                       p: float = 2) -> jax.Array:
+    """Mean over slices of circular W_p^p between projected clouds.
+
+    x: (..., N, 3), y: (..., M, 3), frames: (..., L, 3, 2) -> (...,) scalar per
+    batch element (reference ``sliced_cost`` :251-286).
+    """
+    ax = project_to_circle(x, frames)
+    ay = project_to_circle(y, frames)
+    if p == 1:
+        w = emd1d_circle(ax, ay)
+    else:
+        w = circle_ot(ax, ay, p=p)
+    return jnp.mean(w, axis=-1)
+
+
+def sliced_wasserstein_sphere(key: jax.Array, x: jax.Array, y: jax.Array,
+                              num_projections: int = 100, p: float = 2,
+                              per_batch_frames: bool = False) -> jax.Array:
+    """SSW_p^p between clouds on S^2, batch-meaned if batched.
+
+    ``per_batch_frames=True`` draws independent frames per batch element, as
+    the reference's fast variant does (``sliced_wasserstein_sphere_fast``
+    :317-318); otherwise all batch elements share L frames.
+    """
+    batched = x.ndim == 3
+    if batched and per_batch_frames:
+        frames = stiefel_frames(key, num_projections, x.shape[-1],
+                                batch_shape=(x.shape[0],))
+    else:
+        frames = stiefel_frames(key, num_projections, x.shape[-1])
+    cost = sliced_cost_sphere(x, y, frames, p=p)
+    return jnp.mean(cost) if batched else cost

@@ -1,0 +1,101 @@
+"""Typed experiment configuration.
+
+Replaces the reference's argparse flags (train_W_COS.py:285-313), the
+runner's dict-of-lists matrix (train_RUNNER.py:82-481) and — crucially — the
+run.log prose that test_RUNNER.py regex-scrapes back into flags
+(test_RUNNER.py:244-292, the §1 'quirk'). One dataclass, serialized as JSON
+next to every checkpoint, read back by eval. SURVEY.md §5 config row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+from ..data.dataset import DatasetConfig
+from ..data.transforms import TransformConfig
+from ..losses.shwd import SHWDConfig
+from ..losses.transport import TransportConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # experiment identity (ex_date/ex_ver in the reference)
+    experiment: str = "experiment"
+    log_dir: str = "log"
+
+    # criterion: 'w_cos' (flagship SHWD) | 'cd' (chamfer) | 'pseudo_w_cos'
+    #            | 'w1_cos' (p=1) | 'sinkhorn' | 'max_ssw'
+    criterion: str = "w_cos"
+
+    # data (mirrors --noise_*, --*_p_n, --angle_r, --translation_r)
+    dataset: DatasetConfig = DatasetConfig()
+
+    # optimization (--num_epoch, --batch_size, --lr, --weight_decay)
+    num_epochs: int = 200
+    batch_size: int = 32
+    lr: float = 1e-3
+    weight_decay: float = 1.4096013153858628e-08
+
+    # model (--pcr_iteration_num)
+    pcr_iteration_num: int = 3
+
+    # phi / SHWD (--phi_*, --flow_name)
+    shwd: SHWDConfig = SHWDConfig(
+        transport=TransportConfig(cost="lp", p=2.0, solver="sinkhorn"),
+        max_iter=1,
+        lam=1.3111961119405346e-05,
+        phi_lr=9.213233310357477e-05,
+        phi_weight_decay=1.4096013153858628e-08,
+    )
+    flow_name: str = "Residual"
+    phi_num_flow_layer: int = 3
+    pseudo_phi_num: int = 2
+    pseudo_combine: str = "max"
+
+    # sinkhorn baseline knobs (--sinkhorn_eps / --sinkhorn_iter)
+    sinkhorn_eps: float = 0.01
+    sinkhorn_iter: int = 100
+
+    seed: int = 1234
+    load_model: Optional[str] = None
+
+    # parallel
+    mesh_data: Optional[int] = None      # None = all devices on data axis
+    mesh_slices: int = 1
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def save(self, path: str | Path) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text(self.to_json())
+
+    @staticmethod
+    def load(path: str | Path) -> "TrainConfig":
+        raw = json.loads(Path(path).read_text())
+        return config_from_dict(raw)
+
+
+def _build(cls, raw: dict) -> Any:
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in raw.items():
+        if k not in fields:
+            continue
+        ftype = fields[k].type
+        if isinstance(v, dict):
+            sub = {
+                "dataset": DatasetConfig, "transform": TransformConfig,
+                "shwd": SHWDConfig, "transport": TransportConfig,
+            }.get(k)
+            kwargs[k] = _build(sub, v) if sub else v
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def config_from_dict(raw: dict) -> TrainConfig:
+    return _build(TrainConfig, raw)
