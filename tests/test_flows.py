@@ -57,7 +57,9 @@ def test_residual_chain_zero_init_near_constant_shift():
     # reference init_zeros divides only the last *weight* by 1000; the last
     # bias stays uniform, so the init map is x + (approx constant) shift.
     shift = np.asarray(y - x)
-    np.testing.assert_allclose(shift, shift.mean(0, keepdims=True), atol=5e-2)
+    np.testing.assert_allclose(
+        shift, np.broadcast_to(shift.mean(0, keepdims=True), shift.shape),
+        atol=5e-2)
 
 
 def test_residual_logdet_matches_bruteforce():
