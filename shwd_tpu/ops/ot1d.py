@@ -231,9 +231,10 @@ def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
     u_cdf = jnp.broadcast_to(jnp.arange(1, n + 1, dtype=u.dtype) / n, u.shape)
     v_cdf = jnp.broadcast_to(jnp.arange(1, m + 1, dtype=v.dtype) / m, v.shape)
 
-    shape = u.shape[:-1] + (1,)
-    tm = jnp.full(shape, -1.0, u.dtype)
-    tp = jnp.full(shape, 1.0, u.dtype)
+    # derive the carry init from u so it inherits u's sharding/vma type
+    # (a fresh jnp.full would be 'unvarying' under shard_map and break scan)
+    tm = jnp.zeros_like(u[..., :1]) - 1.0
+    tp = jnp.zeros_like(u[..., :1]) + 1.0
 
     def body(i, carry):
         tm, tp = carry

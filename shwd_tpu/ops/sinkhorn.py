@@ -41,9 +41,10 @@ def sinkhorn_log(cost: jax.Array, eps: float = 0.01, num_iters: int = 100,
     n, m = cost.shape[-2], cost.shape[-1]
     dtype = cost.dtype
     if a is None:
-        a = jnp.full(cost.shape[:-2] + (n,), 1.0 / n, dtype)
+        # derive from cost so marginals inherit cost's sharding/vma type
+        a = jnp.zeros_like(cost[..., 0]) + 1.0 / n
     if b is None:
-        b = jnp.full(cost.shape[:-2] + (m,), 1.0 / m, dtype)
+        b = jnp.zeros_like(cost[..., 0, :]) + 1.0 / m
     log_a = jnp.log(a)
     log_b = jnp.log(b)
 
@@ -85,9 +86,9 @@ def emd2_approx(cost: jax.Array, eps: float = 5e-3, num_iters: int = 50,
     n, m = cost.shape[-2], cost.shape[-1]
     dtype = cost.dtype
     if a is None:
-        a = jnp.full(cost.shape[:-2] + (n,), 1.0 / n, dtype)
+        a = jnp.zeros_like(cost[..., 0]) + 1.0 / n
     if b is None:
-        b = jnp.full(cost.shape[:-2] + (m,), 1.0 / m, dtype)
+        b = jnp.zeros_like(cost[..., 0, :]) + 1.0 / m
     log_a = jnp.log(a)
     log_b = jnp.log(b)
 

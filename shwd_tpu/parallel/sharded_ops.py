@@ -18,7 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.spherical import sliced_cost_sphere
@@ -66,13 +66,13 @@ def make_sharded_transport(mesh: Mesh, cost: str = "lp", p: float = 2.0,
         val = emd2_approx(c, eps=eps, num_iters=num_iters,
                           num_scales=num_scales)
         w = jnp.maximum(val, 1e-30) ** (1.0 / p)
-        return jax.lax.pmean(jnp.mean(w), axis_name="data")[None]
+        s = jax.lax.pmean(jnp.mean(w), axis_name="data")
+        return jax.lax.pmean(s, axis_name="slices")[None]
 
     wrapped = shard_map(
         local, mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P(None),
-        check_vma=False,
     )
 
     def transport(x, y):

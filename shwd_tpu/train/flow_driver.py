@@ -1,0 +1,202 @@
+"""Wasserstein gradient flow: deform a point cloud to minimize a distance.
+
+TPU-native rebuild of the flow notebooks' experiment loop
+(``Wasserstein_flow_problem/Flow_cube.ipynb`` cell 8): the evolving cloud's
+coordinates are the parameters, Adam descends the chosen distance toward a
+fixed target, exact W2 (or Chamfer, for the ``_CD_metric`` twins) is recorded
+every ``eval_interval`` iterations.
+
+TPU design: the *entire* flow step — distance (including SHWD's inner
+adversarial phi update) + Adam on the coordinates — is one jitted function,
+scanned ``eval_interval`` steps at a time; only the cheap eval metric leaves
+the device. The reference pays ~0.69 s per SHWD step on CPU
+(BASELINE.md); this loop is the benchmark that must beat it by >=10x.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..flows import make_flow
+from ..losses.shwd import SHWDConfig, SHWDLoss
+from ..losses.transport import TransportConfig
+from ..losses import sliced_zoo
+from ..ops.chamfer import chamfer
+from ..ops.spherical import sliced_wasserstein_sphere
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    method: str = "SHWD"           # SHWD | SWD | SSWD | ASWD | CD | MSWD
+    num_iterations: int = 400
+    eval_interval: int = 5
+    lr: float = 0.01
+    num_projections: int = 100
+    # SHWD knobs (notebook cell 6 params)
+    shwd_layers: int = 5
+    shwd_lam: float = 0.1
+    shwd_max_iter: int = 1
+    shwd_phi_lr: float = 0.001
+    shwd_phi_wd: float = 0.1
+    shwd_solver: str = "sinkhorn"  # EMD surrogate used inside SHWD
+    eval_metric: str = "w2"        # 'w2' exact EMD | 'cd' chamfer
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class FlowResult:
+    clouds: np.ndarray             # final evolved cloud
+    eval_values: np.ndarray        # metric every eval_interval iters
+    eval_iters: np.ndarray
+    interval_seconds: np.ndarray   # wall time per reporting interval
+    steps_per_second: float
+
+
+def _make_loss_step(cfg: FlowConfig):
+    """Returns (init_state, step(points, state, key) -> (points, state, loss))."""
+    opt = optax.adam(cfg.lr, b1=0.9, b2=0.999)
+
+    if cfg.method == "SHWD":
+        flow = make_flow("Residual", cfg.shwd_layers)
+        crit = SHWDLoss(flow, SHWDConfig(
+            transport=TransportConfig(cost="lp", p=2.0, solver=cfg.shwd_solver,
+                                      eps=5e-3, num_iters=30, num_scales=3,
+                                      num_projections=cfg.num_projections),
+            max_iter=cfg.shwd_max_iter, lam=cfg.shwd_lam,
+            phi_lr=cfg.shwd_phi_lr, phi_weight_decay=cfg.shwd_phi_wd))
+
+        def init_state(key):
+            return {"opt": opt.init(jnp.zeros((1, 3))), "crit": crit.init(key)}
+
+        def step(points, target, state, key):
+            def loss_fn(pts):
+                (w, _, _), new_crit = crit.apply(state["crit"], pts[None],
+                                                 target[None], train=True)
+                return w, new_crit
+
+            (loss, new_crit), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(points)
+            updates, new_opt = opt.update(grads, state["opt"])
+            return (optax.apply_updates(points, updates),
+                    {"opt": new_opt, "crit": new_crit}, loss)
+
+        return init_state, step
+
+    def plain_loss(pts, target, key):
+        if cfg.method == "SWD":
+            return sliced_zoo.sliced_wasserstein_distance(
+                key, pts, target, cfg.num_projections)
+        if cfg.method == "MSWD":
+            return sliced_zoo.max_sliced_wasserstein_distance(key, pts, target)
+        if cfg.method == "SSWD":
+            return sliced_wasserstein_sphere(key, pts, target,
+                                             cfg.num_projections, p=2)
+        if cfg.method == "CD":
+            return chamfer(pts[None], target[None])
+        raise ValueError(f"unknown flow method {cfg.method!r}")
+
+    if cfg.method == "ASWD":
+        def init_state(key):
+            return {"opt": opt.init(jnp.zeros((1, 3))),
+                    "phi": sliced_zoo.init_mapping(key, 3)}
+
+        def step(points, target, state, key):
+            def loss_fn(pts):
+                lam = 0.05 / jnp.mean(jnp.abs(target))
+                v, new_phi = sliced_zoo.augmented_sliced_wasserstein_distance(
+                    key, pts, target, state["phi"],
+                    num_projections=cfg.num_projections, max_iter=10, lam=lam)
+                return v, new_phi
+
+            (loss, new_phi), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(points)
+            updates, new_opt = opt.update(grads, state["opt"])
+            return (optax.apply_updates(points, updates),
+                    {"opt": new_opt, "phi": new_phi}, loss)
+
+        return init_state, step
+
+    def init_state(key):
+        return {"opt": opt.init(jnp.zeros((1, 3)))}
+
+    def step(points, target, state, key):
+        loss, grads = jax.value_and_grad(
+            lambda pts: plain_loss(pts, target, key))(points)
+        updates, new_opt = opt.update(grads, state["opt"])
+        return optax.apply_updates(points, updates), {"opt": new_opt}, loss
+
+    return init_state, step
+
+
+def run_flow(source: jax.Array, target: jax.Array, cfg: FlowConfig,
+             eval_fn: Optional[Callable] = None, verbose: bool = False
+             ) -> FlowResult:
+    """Evolve ``source`` toward ``target``; record eval metric per interval.
+
+    ``eval_fn(points, target) -> float`` defaults to exact W2 via the native
+    network-simplex (notebook parity) or Chamfer for eval_metric='cd'.
+    """
+    if eval_fn is None:
+        if cfg.eval_metric == "cd":
+            def eval_fn(p, t):
+                return float(chamfer(jnp.asarray(p)[None], jnp.asarray(t)[None]))
+        else:
+            from ..ops.emd_exact import w2_exact
+            eval_fn = w2_exact
+
+    init_state, step = _make_loss_step(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, key = jax.random.split(key)
+    state = init_state(k_init)
+    # re-init opt state with real shapes
+    state["opt"] = optax.adam(cfg.lr).init(source)
+
+    def interval(points, state, key):
+        """eval_interval jitted steps under one lax.scan."""
+        keys = jax.random.split(key, cfg.eval_interval)
+
+        def body(carry, k):
+            pts, st = carry
+            pts, st, loss = step(pts, target, st, k)
+            return (pts, st), loss
+
+        (points, state), losses = jax.lax.scan(body, (points, state), keys)
+        return points, state, losses
+
+    interval_jit = jax.jit(interval)
+
+    points = jnp.asarray(source)
+    evals = [eval_fn(np.asarray(points), np.asarray(target))]
+    iters = [0]
+    times = []
+    n_intervals = cfg.num_iterations // cfg.eval_interval
+    # warm-up compile outside the timed region
+    _ = jax.block_until_ready(interval_jit(points, state, key)[0])
+    for it in range(n_intervals):
+        key, k_int = jax.random.split(key)
+        t0 = time.perf_counter()
+        points, state, losses = interval_jit(points, state, k_int)
+        jax.block_until_ready(points)
+        times.append(time.perf_counter() - t0)
+        metric = eval_fn(np.asarray(points), np.asarray(target))
+        evals.append(metric)
+        iters.append((it + 1) * cfg.eval_interval)
+        if verbose:
+            print(f"iter {iters[-1]:5d}  {cfg.eval_metric}={metric:.6f}  "
+                  f"interval={times[-1]*1000:.1f} ms")
+
+    times_arr = np.asarray(times)
+    return FlowResult(
+        clouds=np.asarray(points),
+        eval_values=np.asarray(evals),
+        eval_iters=np.asarray(iters),
+        interval_seconds=times_arr,
+        steps_per_second=cfg.eval_interval / max(times_arr.mean(), 1e-12),
+    )

@@ -1,0 +1,235 @@
+"""Registration trainers: W_COS (flagship), CD, Pseudo_W_COS, W1_COS, Sinkhorn.
+
+TPU-native rebuild of the reference training harness (``train_W_COS.py``,
+``train_CD.py``, ``train_Pseudo_W_COS.py``,
+``Optimize_hyperparameters/train_W1_COS.py``): per epoch a train pass and a
+validation pass, three best-checkpoint families (val loss / rotation error /
+translation error, train_W_COS.py:198-235), metrics logged per epoch, full
+resume.
+
+TPU design vs the reference (SURVEY.md §3.1):
+- one jitted ``train_step`` = PCRNet fwd + criterion (incl. the SHWD inner
+  adversarial scan) + model Adam update — no Python in the hot loop, no CPU
+  OT calls, no per-item loops;
+- mean-subtraction of both clouds (and of the translation target in eval)
+  inside the step, matching train_W_COS.py:127-129, 167-168;
+- criterion state (phi params/opt) threads functionally through the epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import RegistrationDataset
+from ..data.transforms import RegistrationBatch
+from ..flows import make_flow
+from ..losses import (
+    MaxSSWConfig, MaxSSWLoss, PseudoSHWDConfig, PseudoSHWDLoss, SHWDLoss,
+    chamfer_criterion, make_sinkhorn_criterion,
+)
+from ..models import PCRNet
+from ..ops.quaternion import rotation_error_deg, translation_error
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import RunLogger
+from .config import TrainConfig
+
+
+class TrainState(NamedTuple):
+    params: Any                 # PCRNet params
+    opt_state: Any
+    crit_state: Any             # SHWD/pseudo/ssw state or () for stateless
+    epoch: jax.Array
+
+
+def _mean_subtract(batch: RegistrationBatch):
+    """train_W_COS.py:127-129/167-168: both clouds centered; the translation
+    ground truth is shifted by the source mean in eval."""
+    src_mean = jnp.mean(batch.source, axis=1, keepdims=True)
+    tgt_mean = jnp.mean(batch.target, axis=1, keepdims=True)
+    source = batch.source - src_mean
+    target = batch.target - tgt_mean
+    translation = batch.igt_translation - src_mean[:, 0, :]
+    return source, target, translation
+
+
+def build_criterion(cfg: TrainConfig):
+    """Returns (init_state(key), criterion(crit_state, x, y, train) ->
+    ((loss, sx, sy), new_state))."""
+    name = cfg.criterion
+    if name in ("w_cos", "w1_cos"):
+        shwd_cfg = cfg.shwd
+        if name == "w1_cos":
+            shwd_cfg = dataclasses.replace(
+                shwd_cfg, transport=dataclasses.replace(shwd_cfg.transport, p=1.0))
+        flow = make_flow(cfg.flow_name, cfg.phi_num_flow_layer)
+        crit = SHWDLoss(flow, shwd_cfg)
+        return crit.init, crit.apply
+    if name == "pseudo_w_cos":
+        flow = make_flow(cfg.flow_name, cfg.phi_num_flow_layer)
+        crit = PseudoSHWDLoss(flow, PseudoSHWDConfig(
+            transport=cfg.shwd.transport, phi_num=cfg.pseudo_phi_num,
+            combine=cfg.pseudo_combine))
+        return crit.init, lambda s, x, y, train=True: crit.apply(s, x, y, train)
+    if name == "max_ssw":
+        from ..flows import SphereChartMLP
+        crit = MaxSSWLoss(SphereChartMLP(), MaxSSWConfig(
+            num_projections=cfg.shwd.transport.num_projections,
+            max_iter=cfg.shwd.max_iter, phi_lr=cfg.shwd.phi_lr))
+        return crit.init, crit.apply
+    if name == "cd":
+        def apply(state, x, y, train=True):
+            return chamfer_criterion(x, y), state
+        return (lambda key: ()), apply
+    if name == "sinkhorn":
+        base = make_sinkhorn_criterion(cfg.sinkhorn_eps, cfg.sinkhorn_iter)
+
+        def apply(state, x, y, train=True):
+            return base(x, y), state
+        return (lambda key: ()), apply
+    raise ValueError(f"unknown criterion {name!r}")
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.model = PCRNet()
+        self.opt = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        self.crit_init, self.crit_apply = build_criterion(cfg)
+        self._train_step = jax.jit(self._step, static_argnames=("train",))
+        self._eval_step = jax.jit(self._eval)
+
+    # -- jitted bodies -----------------------------------------------------
+
+    def _step(self, state: TrainState, batch: RegistrationBatch,
+              train: bool = True):
+        source, target, _ = _mean_subtract(batch)
+
+        def loss_fn(params, crit_state):
+            out = self.model.apply(params, target, source,
+                                   self.cfg.pcr_iteration_num)
+            (loss, _, _), new_crit = self.crit_apply(
+                crit_state, target, out.transformed_source, train)
+            return loss, new_crit
+
+        (loss, new_crit), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.crit_state)
+        updates, new_opt = self.opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_opt, new_crit, state.epoch), loss
+
+    def _eval(self, state: TrainState, batch: RegistrationBatch):
+        """Validation pass: loss in test mode + pose errors
+        (test_one_epoch, train_W_COS.py:111-149)."""
+        source, target, translation = _mean_subtract(batch)
+        out = self.model.apply(state.params, target, source,
+                               self.cfg.pcr_iteration_num)
+        (loss, _, _), _ = self.crit_apply(
+            state.crit_state, target, out.transformed_source, False)
+        rot_err = rotation_error_deg(batch.igt_rotation, out.est_R)
+        trans_err = translation_error(batch.igt_rotation, translation,
+                                      out.est_t[:, 0, :])
+        return loss, jnp.mean(rot_err), jnp.mean(trans_err)
+
+    # -- epoch drivers -----------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        k_model, k_crit = jax.random.split(key)
+        params = self.model.init(k_model)
+        return TrainState(params, self.opt.init(params),
+                          self.crit_init(k_crit), jnp.zeros((), jnp.int32))
+
+    def train_one_epoch(self, state, dataset, indices, key, rng):
+        total, count = 0.0, 0
+        for batch in dataset.batches(key, indices, self.cfg.batch_size,
+                                     shuffle=True, rng=rng):
+            state, loss = self._train_step(state, batch, train=True)
+            total += float(loss)
+            count += 1
+        return state, total / max(count, 1)
+
+    def eval_one_epoch(self, state, dataset, indices, key):
+        losses, rots, trans = [], [], []
+        for batch in dataset.batches(key, indices, self.cfg.batch_size,
+                                     shuffle=False):
+            loss, r, t = self._eval_step(state, batch)
+            losses.append(float(loss))
+            rots.append(float(r))
+            trans.append(float(t))
+        n = max(len(losses), 1)
+        return (sum(losses) / n, sum(rots) / n, sum(trans) / n)
+
+    # -- full run ----------------------------------------------------------
+
+    def fit(self, train_ds: RegistrationDataset,
+            val_ds: Optional[RegistrationDataset] = None,
+            verbose: bool = True) -> dict:
+        cfg = self.cfg
+        log_dir = Path(cfg.log_dir) / cfg.experiment
+        models_dir = log_dir / "models"
+        models_dir.mkdir(parents=True, exist_ok=True)
+        cfg.save(log_dir / "config.json")
+        logger = RunLogger(log_dir)
+
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+        k_init, key = jax.random.split(key)
+        state = self.init_state(k_init)
+
+        if cfg.load_model and cfg.load_model != "None":
+            state, start_epoch = load_checkpoint(cfg.load_model, state)
+        else:
+            start_epoch = 0
+
+        if val_ds is None:
+            train_idx, val_idx = train_ds.train_val_indices(rng)
+            val_src = train_ds
+        else:
+            train_idx = np.arange(len(train_ds))
+            val_idx = np.arange(len(val_ds))
+            val_src = val_ds
+
+        best = {"loss": np.inf, "rot": np.inf, "trans": np.inf}
+        history = []
+        for epoch in range(start_epoch, cfg.num_epochs):
+            t0 = time.perf_counter()
+            key, k_train, k_val = jax.random.split(key, 3)
+            state, train_loss = self.train_one_epoch(
+                state, train_ds, train_idx, k_train, rng)
+            val_loss, rot_err, trans_err = self.eval_one_epoch(
+                state, val_src, val_idx, k_val)
+            dt = time.perf_counter() - t0
+
+            if val_loss < best["loss"]:
+                best["loss"] = val_loss
+                save_checkpoint(models_dir / "best_model_snap", state, epoch + 1)
+            if rot_err < best["rot"]:
+                best["rot"] = rot_err
+                save_checkpoint(models_dir / "best_rot_error_snap", state,
+                                epoch + 1)
+            if trans_err < best["trans"]:
+                best["trans"] = trans_err
+                save_checkpoint(models_dir / "best_trans_error_snap", state,
+                                epoch + 1)
+
+            row = dict(epoch=epoch + 1, train_loss=train_loss,
+                       val_loss=val_loss, best_loss=best["loss"],
+                       rot_error=rot_err, best_rot_error=best["rot"],
+                       trans_error=trans_err, best_trans_error=best["trans"],
+                       seconds=dt)
+            history.append(row)
+            logger.log(row)
+            if verbose:
+                # reference prints losses x100 (train_W_COS.py:248)
+                print(f"EPOCH:: {epoch+1}, Training Loss: {train_loss*100:.4f},"
+                      f" Val Loss: {val_loss*100:.4f}, Rot error: {rot_err:.3f},"
+                      f" Trans error: {trans_err:.4f}, Time: {dt:.2f}s")
+        return {"best": best, "history": history, "state": state}

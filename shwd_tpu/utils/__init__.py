@@ -1,0 +1,2 @@
+from .logging import RunLogger  # noqa: F401
+from .checkpoint import save_checkpoint, load_checkpoint  # noqa: F401

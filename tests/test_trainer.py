@@ -1,0 +1,96 @@
+"""End-to-end trainer + flow-driver + checkpoint tests (small configs)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+from shwd_tpu.losses import SHWDConfig, TransportConfig
+from shwd_tpu.train import TrainConfig, Trainer, FlowConfig, run_flow
+from shwd_tpu.utils import save_checkpoint, load_checkpoint
+from shwd_tpu.ops.sphere_sampling import sample_cube_surface
+
+
+def tiny_config(tmp_path, criterion="cd", **kw):
+    return TrainConfig(
+        experiment="t",
+        log_dir=str(tmp_path),
+        criterion=criterion,
+        dataset=DatasetConfig(source_point_num=24, target_point_num=24,
+                              num_synthetic=16, cache_dir=str(tmp_path / "mc"),
+                              transform=TransformConfig(noise_sigma=0.01)),
+        num_epochs=2,
+        batch_size=4,
+        pcr_iteration_num=2,
+        shwd=SHWDConfig(
+            transport=TransportConfig(cost="lp", p=2.0, solver="sinkhorn_fast",
+                                      eps=0.05, num_iters=20),
+            max_iter=1, lam=1e-4, phi_lr=1e-4),
+        phi_num_flow_layer=1,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("criterion", ["cd", "w_cos", "pseudo_w_cos"])
+def test_trainer_runs_and_checkpoints(tmp_path, criterion):
+    cfg = tiny_config(tmp_path, criterion)
+    tr = Trainer(cfg)
+    ds = RegistrationDataset(cfg.dataset, "train")
+    result = tr.fit(ds, verbose=False)
+    assert len(result["history"]) == 2
+    assert np.isfinite(result["history"][-1]["train_loss"])
+    assert np.isfinite(result["history"][-1]["rot_error"])
+    # checkpoint exists and loads back into the same structure
+    state, epoch = load_checkpoint(
+        tmp_path / "t" / "models" / "best_model_snap", result["state"])
+    assert epoch >= 1
+    for a, b in zip(jax.tree.leaves(state)[:3],
+                    jax.tree.leaves(result["state"])[:3]):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_trainer_resume(tmp_path):
+    cfg = tiny_config(tmp_path, "cd")
+    tr = Trainer(cfg)
+    ds = RegistrationDataset(cfg.dataset, "train")
+    tr.fit(ds, verbose=False)
+    cfg2 = dataclasses.replace(
+        cfg, num_epochs=3,
+        load_model=str(tmp_path / "t" / "models" / "best_model_snap"))
+    tr2 = Trainer(cfg2)
+    res = tr2.fit(ds, verbose=False)
+    assert res["history"][-1]["epoch"] == 3
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = tiny_config(tmp_path, "w_cos")
+    cfg.save(tmp_path / "c.json")
+    cfg2 = TrainConfig.load(tmp_path / "c.json")
+    assert cfg2.criterion == "w_cos"
+    assert cfg2.shwd.transport.solver == "sinkhorn_fast"
+    assert cfg2.dataset.source_point_num == 24
+
+
+def test_flow_driver_swd_converges():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    source = sample_cube_surface(k1, 200)
+    target = sample_cube_surface(k2, 200, biased=True)
+    cfg = FlowConfig(method="SWD", num_iterations=60, eval_interval=20,
+                     num_projections=50)
+    res = run_flow(source, target, cfg)
+    assert res.eval_values[-1] < res.eval_values[0] * 0.7
+
+
+def test_flow_driver_shwd_decreases():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    source = sample_cube_surface(k1, 120)
+    target = sample_cube_surface(k2, 120, biased=True)
+    cfg = FlowConfig(method="SHWD", num_iterations=20, eval_interval=10,
+                     shwd_layers=1, num_projections=30)
+    res = run_flow(source, target, cfg)
+    assert res.eval_values[-1] < res.eval_values[0]
