@@ -210,36 +210,117 @@ def _cost_at(theta, u_sorted, v_sorted, u_cdf, v_cdf, p):
     return jnp.sum(delta * jnp.abs(u_icdf - v_icdf) ** p, axis=-1)
 
 
+# -- closed-form helpers for uniform weights --------------------------------
+#
+# With uniform weights both CDFs are arithmetic grids: u_cdf = (1..n)/n and
+# the theta-shifted target CDF is c + i/m with c = (w+1)/m - tfrac, where
+# w = #{k : k/m < tfrac} wrapped entries. Every searchsorted against such a
+# grid is index arithmetic — O(1) per query instead of O(K) comparisons.
+# This is the speed-of-light form of the bisection on TPU: the reference's
+# generic dCost (roll + two searchsorted over (B, m) tensors,
+# max_spherical_sliced_w.py:25-65) becomes a handful of vectorized gathers.
+
+def _grid_searchsorted_left(q, n):
+    """#{k in 1..n : k/n < q} == searchsorted((1..n)/n, q, 'left').
+
+    The tolerance is relative: at q*n ~ 1e3 the f32 ulp is ~1e-4, so an
+    absolute epsilon would vanish; ties (exact grid hits) must not round up.
+    """
+    qn = q * n
+    tol = jnp.abs(qn) * 1e-6 + 1e-7
+    return jnp.clip(jnp.ceil(qn - tol).astype(jnp.int32) - 1, 0, n)
+
+
+def _shifted_target_uniform(theta, v_sorted):
+    """Closed-form _shifted_target: returns (v_ext (..., m+1), c, w).
+
+    v_ext[i] = v[(w+i) % m] + floor(theta) + (i >= m-w), plus one wrap entry;
+    shifted-CDF grid is c + i/m, i = 0..m-1.
+    """
+    m = v_sorted.shape[-1]
+    tfloor = jnp.floor(theta)
+    tfrac = theta - tfloor                                   # (..., 1)
+    w = _grid_searchsorted_left(tfrac, m)                    # (..., 1) wraps
+    i = jnp.arange(m, dtype=jnp.int32)
+    idx = (w + i) % m                                        # (..., m)
+    v_vals = jnp.take_along_axis(v_sorted, idx, axis=-1)
+    v_vals = v_vals + tfloor + (i >= (m - w)).astype(v_sorted.dtype)
+    v_ext = jnp.concatenate([v_vals, v_vals[..., :1] + 1.0], axis=-1)
+    c = (w + 1).astype(v_sorted.dtype) / m - tfrac           # grid offset
+    return v_ext, c, w
+
+
+def _dcost_uniform(theta, u_sorted, v_sorted, p):
+    """Closed-form left derivative of the circle cost wrt theta (dCp)."""
+    n = u_sorted.shape[-1]
+    m = v_sorted.shape[-1]
+    v_ext, c, _ = _shifted_target_uniform(theta, v_sorted)
+    # queries: the shifted target CDF grid q_i = c + i/m
+    q = c + jnp.arange(m, dtype=u_sorted.dtype) / m
+    u_idx = _grid_searchsorted_left(q, n)
+    u_icdf = jnp.take_along_axis(u_sorted, jnp.clip(u_idx, 0, n - 1), axis=-1)
+    return jnp.sum(jnp.abs(u_icdf - v_ext[..., 1:]) ** p
+                   - jnp.abs(u_icdf - v_ext[..., :-1]) ** p,
+                   axis=-1, keepdims=True)
+
+
+def _cost_at_uniform(theta, u_sorted, v_sorted, p):
+    """Circle transport cost at shift theta, uniform weights (closed-form
+    searches; one merge-sort of the two CDF grids)."""
+    n = u_sorted.shape[-1]
+    m = v_sorted.shape[-1]
+    v_ext, c, _ = _shifted_target_uniform(theta, v_sorted)
+
+    u_cdf = jnp.broadcast_to(jnp.arange(1, n + 1, dtype=u_sorted.dtype) / n,
+                             u_sorted.shape)
+    v_cdf_t = c + jnp.arange(m, dtype=u_sorted.dtype) / m
+    cdf_axis = jnp.sort(jnp.concatenate(
+        [u_cdf, jnp.broadcast_to(v_cdf_t, v_sorted.shape)], axis=-1), axis=-1)
+    delta = jnp.diff(cdf_axis, axis=-1, prepend=0.0)
+
+    u_idx = _grid_searchsorted_left(cdf_axis, n)
+    u_icdf = jnp.take_along_axis(u_sorted, jnp.clip(u_idx, 0, n - 1), axis=-1)
+
+    # v grid starts at c, step 1/m: #{i : c + i/m < q} = ceil((q - c) m)
+    qm = (cdf_axis - c) * m
+    v_idx = jnp.clip(
+        jnp.ceil(qm - jnp.abs(qm) * 1e-6 - 1e-7).astype(jnp.int32), 0, m)
+    v_ext2 = jnp.concatenate([v_ext, v_ext[..., :1] + 1.0], axis=-1)
+    v_icdf = jnp.take_along_axis(v_ext2, v_idx, axis=-1)
+
+    return jnp.sum(delta * jnp.abs(u_icdf - v_icdf) ** p, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "max_iter", "require_sort"))
 def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
-              max_iter: int = 40, require_sort: bool = True) -> jax.Array:
+              max_iter: int = 32, require_sort: bool = True) -> jax.Array:
     """Exact W_p^p on the circle (p >= 1) by binary search on the cut shift.
 
     Batched over leading dims; each problem runs the Delon–Salomon–Sobolevski
-    search (ref ``binary_search_circle``) but with a bounded ``while_loop``
-    and ``where``-masked interval updates — no data-dependent Python control
-    flow. 40 halvings of [-1, 1] reach ~1e-12, far below eps.
+    search (ref ``binary_search_circle``) but with a bounded loop and
+    ``where``-masked interval updates — no data-dependent Python control
+    flow — and uniform-weight closed-form CDF searches (see helpers above):
+    per bisection step the work is O(L x m) gathers, vs the reference's
+    O(L x m x n) searchsorted. 32 halvings of [-1, 1] reach ~5e-10.
 
-    Gradients flow through the final ``_cost_at`` evaluation with theta
-    detached (the reference likewise detaches tc), which is exact by the
-    envelope theorem at the optimum.
+    Gradients flow through the final cost evaluation with theta detached
+    (the reference likewise detaches tc), exact by the envelope theorem.
     """
     if require_sort:
         u = jnp.sort(u, axis=-1)
         v = jnp.sort(v, axis=-1)
-    n, m = u.shape[-1], v.shape[-1]
-    u_cdf = jnp.broadcast_to(jnp.arange(1, n + 1, dtype=u.dtype) / n, u.shape)
-    v_cdf = jnp.broadcast_to(jnp.arange(1, m + 1, dtype=v.dtype) / m, v.shape)
 
     # derive the carry init from u so it inherits u's sharding/vma type
     # (a fresh jnp.full would be 'unvarying' under shard_map and break scan)
     tm = jnp.zeros_like(u[..., :1]) - 1.0
     tp = jnp.zeros_like(u[..., :1]) + 1.0
+    ud = jax.lax.stop_gradient(u)
+    vd = jax.lax.stop_gradient(v)
 
     def body(i, carry):
         tm, tp = carry
         tc = (tm + tp) / 2.0
-        dcp, _ = _dcost(tc, u, v, u_cdf, v_cdf, p)
+        dcp = _dcost_uniform(tc, ud, vd, p)
         go_right = dcp < 0      # derivative negative -> optimum right of tc
         tm = jnp.where(go_right, tc, tm)
         tp = jnp.where(go_right, tp, tc)
@@ -247,4 +328,4 @@ def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
 
     tm, tp = jax.lax.fori_loop(0, max_iter, body, (tm, tp))
     tc = jax.lax.stop_gradient((tm + tp) / 2.0)
-    return _cost_at(tc, u, v, u_cdf, v_cdf, p)
+    return _cost_at_uniform(tc, u, v, p)
