@@ -291,6 +291,72 @@ def _cost_at_uniform(theta, u_sorted, v_sorted, p):
     return jnp.sum(delta * jnp.abs(u_icdf - v_icdf) ** p, axis=-1)
 
 
+# -- equal-size fast path ----------------------------------------------------
+#
+# When n == m every gather in the bisection step is *structured*: the target
+# roll (w+i) % m is a contiguous window of the doubled array, and the source
+# quantile indices clip(K+i, 0, n-1) are a contiguous window of an
+# edge-padded array. XLA lowers elementwise take_along_axis to a serial
+# gather on TPU (the observed cliff at n >= 1024); a batch of per-row
+# dynamic slices of whole contiguous rows stays on the fast path. The
+# doubled/padded arrays are loop-invariant and hoisted out of the bisection.
+
+def _batch_slice(a: jax.Array, starts: jax.Array, size: int) -> jax.Array:
+    """Per-row contiguous slice: a (B, K), starts (B,) -> (B, size)."""
+    return jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice_in_dim(row, s, size))(a, starts)
+
+
+def _dcost_uniform_eq(theta, pu, v3, n, p):
+    """_dcost_uniform for n == m via two contiguous slices per row.
+
+    theta: (B, 1); pu: (B, 3n) = [u0 x (n+1), u, u_{n-1} x (n-1)];
+    v3: (B, 2n+1) = [v, v+1, v0+2]. Matches _dcost_uniform bit-for-bit up to
+    the tolerance being evaluated once at the window origin instead of per
+    query (more accurate: c*n is computed before adding the integer i).
+    """
+    dtype = pu.dtype
+    tfloor = jnp.floor(theta)
+    tfrac = theta - tfloor
+    w = _grid_searchsorted_left(tfrac, n)                    # (B, 1) wraps
+    v_ext = _batch_slice(v3, w[..., 0], n + 1) + tfloor      # roll + wrap + 1
+    c = (w + 1).astype(dtype) / n - tfrac
+    cn = c * n
+    tol = jnp.abs(cn) * 1e-6 + 1e-7
+    k0 = jnp.ceil(cn - tol).astype(jnp.int32) - 1            # (B, 1)
+    u_icdf = _batch_slice(pu, k0[..., 0] + (n + 1), n)       # u[clip(k0+i)]
+    return jnp.sum(jnp.abs(u_icdf - v_ext[..., 1:]) ** p
+                   - jnp.abs(u_icdf - v_ext[..., :-1]) ** p,
+                   axis=-1, keepdims=True)
+
+
+def _cost_at_uniform_eq(theta, u_sorted, v_sorted, p):
+    """Circle cost at theta for n == m without sorts or gathers.
+
+    With equal sizes, c = (w+1)/n - tfrac lies in (0, 1/n], so the merged
+    CDF grid is the strict interleave c, 1/n, c+1/n, 2/n, ...: u atom i
+    overlaps exactly the target atoms i and i+1, split (c, 1/n - c):
+
+        cost = sum_i  c * |u_i - v_ext_i|^p + (1/n - c) * |u_i - v_ext_{i+1}|^p
+
+    One contiguous roll of v, everything else elementwise — no merge sort,
+    no gather. theta (and hence c) arrives detached; gradients flow through
+    u and the rolled v exactly as in the generic path.
+    """
+    n = u_sorted.shape[-1]
+    dtype = u_sorted.dtype
+    tfloor = jnp.floor(theta)
+    tfrac = theta - tfloor
+    w = _grid_searchsorted_left(tfrac, n)
+    v3 = jnp.concatenate(
+        [v_sorted, v_sorted + 1.0, v_sorted[..., :1] + 2.0], axis=-1)
+    v_ext = _batch_slice(v3, w[..., 0], n + 1) + tfloor      # (B, n+1)
+    c = (w + 1).astype(dtype) / n - tfrac                    # in (0, 1/n]
+    return jnp.sum(c * jnp.abs(u_sorted - v_ext[..., :-1]) ** p
+                   + (1.0 / n - c) * jnp.abs(u_sorted - v_ext[..., 1:]) ** p,
+                   axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "max_iter", "require_sort"))
 def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
               max_iter: int = 32, require_sort: bool = True) -> jax.Array:
@@ -309,6 +375,36 @@ def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
     if require_sort:
         u = jnp.sort(u, axis=-1)
         v = jnp.sort(v, axis=-1)
+    n, m = u.shape[-1], v.shape[-1]
+
+    if n == m:
+        # equal sizes: bisection steps use contiguous-slice rolls only
+        batch_shape = u.shape[:-1]
+        uf = u.reshape((-1, n))
+        vf = v.reshape((-1, n))
+        ud = jax.lax.stop_gradient(uf)
+        vd = jax.lax.stop_gradient(vf)
+        pu = jnp.concatenate(
+            [jnp.repeat(ud[..., :1], n + 1, axis=-1), ud,
+             jnp.repeat(ud[..., -1:], n - 1, axis=-1)], axis=-1)
+        v3 = jnp.concatenate(
+            [vd, vd + 1.0, vd[..., :1] + 2.0], axis=-1)
+
+        tm = jnp.zeros_like(uf[..., :1]) - 1.0
+        tp = jnp.zeros_like(uf[..., :1]) + 1.0
+
+        def body_eq(i, carry):
+            tm, tp = carry
+            tc = (tm + tp) / 2.0
+            dcp = _dcost_uniform_eq(tc, pu, v3, n, p)
+            go_right = dcp < 0
+            tm = jnp.where(go_right, tc, tm)
+            tp = jnp.where(go_right, tp, tc)
+            return tm, tp
+
+        tm, tp = jax.lax.fori_loop(0, max_iter, body_eq, (tm, tp))
+        tc = jax.lax.stop_gradient((tm + tp) / 2.0)
+        return _cost_at_uniform_eq(tc, uf, vf, p).reshape(batch_shape)
 
     # derive the carry init from u so it inherits u's sharding/vma type
     # (a fresh jnp.full would be 'unvarying' under shard_map and break scan)
