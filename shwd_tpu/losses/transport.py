@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import cost_matrix as build_cost
 from ..ops.sinkhorn import emd2_approx, sinkhorn_log
+from ..ops.sinkhorn_pallas import emd2_points
 from ..ops.spherical import sliced_cost_sphere, stiefel_frames
 
 
@@ -68,11 +69,20 @@ def make_transport(cfg: TransportConfig) -> Callable:
 
     def w(x, y, key=None):
         batched = x.ndim == 3
-        c = build_cost(x, y, cfg.cost, cfg.p)
         if cfg.solver == "sinkhorn":
-            val = emd2_approx(c, eps=cfg.eps, num_iters=cfg.num_iters,
+            # dispatches to the fused Pallas kernel on TPU (cost matrix +
+            # all eps-scaled iterations VMEM-resident), XLA elsewhere
+            xb = x if batched else x[None]
+            yb = y if batched else y[None]
+            val = emd2_points(xb, yb, cfg.cost, cfg.p, eps=cfg.eps,
+                              num_iters=cfg.num_iters,
                               num_scales=cfg.num_scales)
-        elif cfg.solver == "sinkhorn_fast":
+            if not batched:
+                val = val[0]
+            val = jnp.maximum(val, 1e-30) ** (1.0 / cfg.p)
+            return reduce(val) if batched else val
+        c = build_cost(x, y, cfg.cost, cfg.p)
+        if cfg.solver == "sinkhorn_fast":
             val, _, _ = sinkhorn_log(c, eps=cfg.eps, num_iters=cfg.num_iters)
         else:
             raise ValueError(f"unknown solver {cfg.solver!r}")

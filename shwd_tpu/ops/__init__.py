@@ -14,6 +14,9 @@ from .ot1d import (  # noqa: F401
     emd1d, emd1d_general, emd1d_circle, circle_ot, batched_searchsorted,
 )
 from .sinkhorn import sinkhorn_log, emd2_approx, sinkhorn_loss  # noqa: F401
+from .sinkhorn_pallas import (  # noqa: F401
+    emd2_points, fused_supported, sinkhorn_points,
+)
 from .chamfer import chamfer, chamfer_directional, chamfer_pallas  # noqa: F401
 from .spherical import (  # noqa: F401
     stiefel_frames, project_to_circle, sliced_cost_sphere,
