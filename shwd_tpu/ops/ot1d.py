@@ -357,6 +357,45 @@ def _cost_at_uniform_eq(theta, u_sorted, v_sorted, p):
                    axis=-1)
 
 
+# -- p == 2, equal sizes: exact vertex minimum via FFT correlation ----------
+#
+# For uniform equal-size measures the transport cost as a function of the
+# cut shift theta is PIECEWISE LINEAR: inside the cell tfrac in (w/n,
+# (w+1)/n] the cost is c*A(w) + (1/n - c)*A(w+1) with c = (w+1)/n - tfrac,
+# where A(j) = sum_i |u_i - V3[j+i]|^p over the contiguous window j of the
+# tripled target V3 = [v-1, v, v+1] (the wrap adjustments of every cut are
+# exactly the sliding windows of V3; j in 0..2n covers theta in [-1, 1]).
+# Hence min over theta = min_j A(j)/n — no bisection, and EXACT. For p = 2,
+# A(j) = sum u^2 + window-sum(V3^2)(j) - 2 corr(j) and corr(j) =
+# sum_i u_i V3[j+i] is one FFT cross-correlation — O(n log n) on the whole
+# (B, n) batch vs 32 x O(n) bisection steps with per-row dynamic slices.
+
+def _circle_ot_p2_eq(u: jax.Array, v: jax.Array) -> jax.Array:
+    """Exact W_2^2 on the circle, n == m, uniform weights. u, v: (B, n)
+    sorted ascending in [0, 1). Returns (B,)."""
+    b, n = u.shape
+    dtype = u.dtype
+    v3 = jnp.concatenate([v - 1.0, v, v + 1.0], axis=-1)          # (B, 3n)
+
+    ud = jax.lax.stop_gradient(u)
+    v3d = jax.lax.stop_gradient(v3)
+    lfft = 1 << (3 * n - 1).bit_length()                          # >= 3n
+    fu = jnp.fft.rfft(ud, lfft, axis=-1)
+    fv = jnp.fft.rfft(v3d, lfft, axis=-1)
+    corr = jnp.fft.irfft(fv * jnp.conj(fu), lfft, axis=-1)[..., :2 * n + 1]
+
+    csum = jnp.cumsum(v3d * v3d, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    s2 = csum[..., n:3 * n + 1] - csum[..., :2 * n + 1]           # (B, 2n+1)
+    u2 = jnp.sum(ud * ud, axis=-1, keepdims=True)
+    a = u2 + s2 - 2.0 * corr                                      # A(j), (B, 2n+1)
+
+    j_star = jnp.argmin(a, axis=-1).astype(jnp.int32)             # (B,)
+    # exact (and differentiable) evaluation at the chosen alignment
+    win = _batch_slice(v3, j_star, n)
+    return jnp.mean((u - win) ** 2, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "max_iter", "require_sort"))
 def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
               max_iter: int = 32, require_sort: bool = True) -> jax.Array:
@@ -376,6 +415,11 @@ def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
         u = jnp.sort(u, axis=-1)
         v = jnp.sort(v, axis=-1)
     n, m = u.shape[-1], v.shape[-1]
+
+    if n == m and p == 2:
+        batch_shape = u.shape[:-1]
+        return _circle_ot_p2_eq(u.reshape(-1, n),
+                                v.reshape(-1, n)).reshape(batch_shape)
 
     if n == m:
         # equal sizes: bisection steps use contiguous-slice rolls only
