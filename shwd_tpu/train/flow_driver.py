@@ -34,7 +34,10 @@ from ..ops.spherical import sliced_wasserstein_sphere
 
 @dataclasses.dataclass(frozen=True)
 class FlowConfig:
-    method: str = "SHWD"           # SHWD | SWD | SSWD | ASWD | CD | MSWD
+    # SHWD | SWD | MSWD | SSWD | SSWD_W1 | ASWD | DSWD | CD | W2 |
+    # GSWD_POLY | GSWD_POLY3 | MGSWD_POLY | GSWD_CIRC | MGSWD_CIRC |
+    # GSW_NN | MGSW_NN      (the notebooks' full method zoo, cell 6)
+    method: str = "SHWD"
     num_iterations: int = 400
     eval_interval: int = 5
     lr: float = 0.01
@@ -90,30 +93,70 @@ def _make_loss_step(cfg: FlowConfig):
         return init_state, step
 
     def plain_loss(pts, target, key):
+        L = cfg.num_projections
         if cfg.method == "SWD":
-            return sliced_zoo.sliced_wasserstein_distance(
-                key, pts, target, cfg.num_projections)
+            return sliced_zoo.sliced_wasserstein_distance(key, pts, target, L)
         if cfg.method == "MSWD":
             return sliced_zoo.max_sliced_wasserstein_distance(key, pts, target)
         if cfg.method == "SSWD":
-            return sliced_wasserstein_sphere(key, pts, target,
-                                             cfg.num_projections, p=2)
+            return sliced_wasserstein_sphere(key, pts, target, L, p=2)
+        if cfg.method == "SSWD_W1":
+            return sliced_wasserstein_sphere(key, pts, target, L, p=1)
         if cfg.method == "CD":
             return chamfer(pts[None], target[None])
+        if cfg.method == "W2":
+            # the notebooks' exact-EMD flow method, the TPU way: eps-scaled
+            # log-Sinkhorn converging to the exact plan (differentiable)
+            from ..ops.costs import cost_matrix
+            from ..ops.sinkhorn import emd2_approx
+            c = cost_matrix(pts[None], target[None], "lp", 2.0)
+            return emd2_approx(c, eps=5e-3, num_iters=50, num_scales=4)[0]
+        if cfg.method == "GSWD_POLY":
+            return sliced_zoo.gswd_polynomial(key, pts, target, L, degree=5)
+        if cfg.method == "GSWD_POLY3":
+            return sliced_zoo.gswd_polynomial3_2d(key, pts, target, L)
+        if cfg.method == "MGSWD_POLY":
+            return sliced_zoo.max_gswd_polynomial(key, pts, target, degree=3)
+        if cfg.method == "GSWD_CIRC":
+            return sliced_zoo.gswd_circular(key, pts, target, L)
+        if cfg.method == "MGSWD_CIRC":
+            return sliced_zoo.max_gswd_circular(key, pts, target)
         raise ValueError(f"unknown flow method {cfg.method!r}")
 
-    if cfg.method == "ASWD":
+    # methods with a persistent adversarial/learned state (notebook keeps the
+    # Mapping / TransformNet / defining-MLP alive across flow iterations)
+    stateful = {
+        "ASWD": (
+            lambda k: sliced_zoo.init_mapping(k, 3),
+            lambda key, pts, target, phi: (
+                sliced_zoo.augmented_sliced_wasserstein_distance(
+                    key, pts, target, phi,
+                    num_projections=cfg.num_projections, max_iter=10,
+                    lam=0.05 / jnp.mean(jnp.abs(target))))),
+        "DSWD": (
+            lambda k: sliced_zoo.init_transform_net(k, 3),
+            lambda key, pts, target, phi: (
+                sliced_zoo.distributional_sliced_wasserstein_distance(
+                    key, pts, target, phi,
+                    num_projections=cfg.num_projections, max_iter=10))),
+        "GSW_NN": (
+            lambda k: sliced_zoo.init_gsw_mlp(k, 3),
+            lambda key, pts, target, phi: (
+                sliced_zoo.gsw_nn(pts, target, phi), phi)),
+        "MGSW_NN": (
+            lambda k: sliced_zoo.init_gsw_mlp(k, 3),
+            lambda key, pts, target, phi: (
+                sliced_zoo.max_gsw_nn(pts, target, phi, max_iter=10))),
+    }
+    if cfg.method in stateful:
+        phi_init, phi_loss = stateful[cfg.method]
+
         def init_state(key):
-            return {"opt": opt.init(jnp.zeros((1, 3))),
-                    "phi": sliced_zoo.init_mapping(key, 3)}
+            return {"opt": opt.init(jnp.zeros((1, 3))), "phi": phi_init(key)}
 
         def step(points, target, state, key):
             def loss_fn(pts):
-                lam = 0.05 / jnp.mean(jnp.abs(target))
-                v, new_phi = sliced_zoo.augmented_sliced_wasserstein_distance(
-                    key, pts, target, state["phi"],
-                    num_projections=cfg.num_projections, max_iter=10, lam=lam)
-                return v, new_phi
+                return phi_loss(key, pts, target, state["phi"])
 
             (loss, new_phi), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(points)

@@ -85,6 +85,23 @@ def test_flow_driver_swd_converges():
     assert res.eval_values[-1] < res.eval_values[0] * 0.7
 
 
+@pytest.mark.parametrize("method", [
+    "MSWD", "SSWD_W1", "ASWD", "DSWD", "W2", "GSWD_POLY", "GSWD_POLY3",
+    "MGSWD_POLY", "GSWD_CIRC", "MGSWD_CIRC", "GSW_NN", "MGSW_NN",
+])
+def test_flow_driver_method_zoo_runs_and_descends(method):
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    source = sample_cube_surface(k1, 96)
+    target = sample_cube_surface(k2, 96, biased=True)
+    cfg = FlowConfig(method=method, num_iterations=20, eval_interval=10,
+                     num_projections=20)
+    res = run_flow(source, target, cfg)
+    assert np.isfinite(res.eval_values).all()
+    # every zoo method should at least not increase exact W2 from the start
+    assert res.eval_values[-1] <= res.eval_values[0] * 1.05
+
+
 def test_flow_driver_shwd_decreases():
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
