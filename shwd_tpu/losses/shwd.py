@@ -80,8 +80,11 @@ class SHWDLoss:
         self.flow = flow
         self.cfg = cfg
         self.transport = make_transport(cfg.transport)
-        self.opt = optax.adamw(cfg.phi_lr, b1=cfg.phi_b1, b2=cfg.phi_b2,
-                               weight_decay=cfg.phi_weight_decay)
+        # coupled-L2 Adam, matching torch.optim.Adam(weight_decay=...) —
+        # the reference's phi_op (train_W_COS.py:392, flow notebooks cell 6)
+        from ..utils.optim import torch_adam
+        self.opt = torch_adam(cfg.phi_lr, cfg.phi_weight_decay,
+                              b1=cfg.phi_b1, b2=cfg.phi_b2)
 
     def init(self, key: jax.Array) -> SHWDState:
         k_flow, k_carry = jax.random.split(key)
@@ -97,10 +100,17 @@ class SHWDLoss:
 
     # -- internals ---------------------------------------------------------
 
+    def _flow_pair(self, params, fstate, x, y):
+        """One batched flow forward over both clouds (concat along the point
+        axis) — halves the dispatch count of the many small MLP ops vs two
+        separate chains; the flow is per-point so the split is exact."""
+        n = x.shape[-2]
+        s = self.flow(params, fstate, jnp.concatenate([x, y], axis=-2))
+        return s[..., :n, :], s[..., n:, :]
+
     def _inner_objective(self, params, fstate, x, y, lam, key):
         """phi's ascent objective: lam * reg - W (minimized => W maximized)."""
-        sx = self.flow(params, fstate, x)
-        sy = self.flow(params, fstate, y)
+        sx, sy = self._flow_pair(params, fstate, x, y)
         w = self.transport(sx, sy, key)
         reg = lam * (sphere_regularizer(sx) + sphere_regularizer(sy))
         return reg - w
@@ -162,8 +172,7 @@ class SHWDLoss:
                               state.strikes, key)
         # final (undetached) forward — gradient path to x and y
         k_final, k_next = jax.random.split(state.key)
-        sx = self.flow(state.phi_params, state.phi_state, x)
-        sy = self.flow(state.phi_params, state.phi_state, y)
+        sx, sy = self._flow_pair(state.phi_params, state.phi_state, x, y)
         w = self.transport(sx, sy, k_final)
         state = state._replace(key=k_next)
         return (w, sx, sy), state

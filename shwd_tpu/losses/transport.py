@@ -35,7 +35,9 @@ from ..ops.spherical import sliced_cost_sphere, stiefel_frames
 class TransportConfig:
     cost: str = "lp"            # 'lp' | 'cosine' | 'geodesic'
     p: float = 2.0
-    solver: str = "sinkhorn"    # 'sinkhorn' | 'sinkhorn_fast' | 'ssw'
+    # 'sinkhorn' | 'sinkhorn_div' | 'sinkhorn_fast' | 'ssw' | 'exact' |
+    # 'auction' | 'hybrid'
+    solver: str = "sinkhorn"
     eps: float = 5e-3
     num_iters: int = 50
     num_scales: int = 4
@@ -81,11 +83,39 @@ def make_transport(cfg: TransportConfig) -> Callable:
                 val = val[0]
             val = jnp.maximum(val, 1e-30) ** (1.0 / cfg.p)
             return reduce(val) if batched else val
+        if cfg.solver == "sinkhorn_div":
+            from ..ops.sinkhorn import sinkhorn_divergence_cost
+            val = sinkhorn_divergence_cost(
+                build_cost(x, y, cfg.cost, cfg.p),
+                build_cost(x, x, cfg.cost, cfg.p),
+                build_cost(y, y, cfg.cost, cfg.p),
+                eps=cfg.eps, num_iters=cfg.num_iters,
+                num_scales=cfg.num_scales)
+            val = jnp.maximum(val, 1e-30) ** (1.0 / cfg.p)
+            return reduce(val) if batched else val
         c = build_cost(x, y, cfg.cost, cfg.p)
+        if not batched:
+            c = c[None]
         if cfg.solver == "sinkhorn_fast":
             val, _, _ = sinkhorn_log(c, eps=cfg.eps, num_iters=cfg.num_iters)
+        elif cfg.solver == "exact":
+            # host-callback network simplex / JV assignment, plan-VJP —
+            # the reference's exact-EMD semantics (parity mode)
+            from ..ops.emd_exact import emd2_exact_jax
+            val = emd2_exact_jax(c)
+        elif cfg.solver == "auction":
+            # on-device exact assignment (equal sizes): eps-scaled auction
+            from ..ops.auction import auction_emd2
+            val = auction_emd2(c, 1e-7)
+        elif cfg.solver == "hybrid":
+            # on-device exact: annealed-Sinkhorn duals + warm-started
+            # auction — the flagship's exact-EMD path on TPU
+            from ..ops.auction import hybrid_emd2
+            val = hybrid_emd2(c, 1e-7)
         else:
             raise ValueError(f"unknown solver {cfg.solver!r}")
+        if not batched:
+            val = val[0]
         val = jnp.maximum(val, 1e-30) ** (1.0 / cfg.p)
         return reduce(val) if batched else val
 

@@ -1,0 +1,209 @@
+"""Exact assignment OT on TPU: batched eps-scaled Jacobi auction.
+
+The reference's flagship SHWD loss calls POT's CPU network simplex per batch
+item (``s2_wasserstein.py:40-45``) — exact EMD, and the gradients the outer
+minimization sees are the optimal plan (envelope theorem, POT's torch
+backend). TPUs have no network simplex, and entropic Sinkhorn's O(eps) plan
+blur stalls Wasserstein flows ~100x above the exact fixed point (measured on
+the Flow_cube benchmark). This module is the TPU-native answer SURVEY.md §2
+calls for ("small-N exact solver — auction kernel"):
+
+Bertsekas' auction algorithm, synchronous (Jacobi) bidding, for the
+equal-size uniform-marginal case (all the reference ever solves: N == M,
+weights 1/N — then EMD is an assignment problem by Birkhoff). Every sweep is
+dense (B, N, M) matrix work — max/one-hot/segment-max on the VPU, no
+scalar loops — batched over all problems at once, inside one jit. With
+eps-complementary slackness the result is within N * eps_final of optimal;
+eps-scaling keeps the sweep count low.
+
+Gradient: ``auction_emd2`` has a custom VJP — d<P, C>/dC = P, the optimal
+permutation /N — identical in structure to POT's backward, so SHWD training
+semantics match the reference exactly, on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+
+
+def _auction_phase(cost, prices, eps, max_sweeps):
+    """One eps-phase of synchronous auction. cost: (B, N, M) to MINIMIZE.
+
+    Starts with everyone unassigned (prices warm-started from the previous
+    phase). Returns (assignment (B, N) int32 person->object, prices).
+    """
+    b, n, m = cost.shape
+    dtype = cost.dtype
+    benefit = -cost                                   # maximize benefit
+
+    def cond(carry):
+        assign, owner, prices, sweeps = carry
+        return jnp.logical_and(jnp.any(assign < 0), sweeps < max_sweeps)
+
+    def body(carry):
+        assign, owner, prices, sweeps = carry
+        unassigned = assign < 0                       # (B, N)
+
+        value = benefit - prices[:, None, :]          # (B, N, M)
+        best = jnp.max(value, axis=-1)                # (B, N)
+        jbest = jnp.argmax(value, axis=-1)            # (B, N)
+        # second-best: mask out the best column
+        masked = jnp.where(
+            jax.nn.one_hot(jbest, m, dtype=bool), _NEG, value)
+        second = jnp.max(masked, axis=-1)             # (B, N)
+
+        bid = prices[jnp.arange(b)[:, None], jbest] + (best - second) + eps
+        bid = jnp.where(unassigned, bid, _NEG)        # only unassigned bid
+
+        # per object: the highest bid wins (scatter-max over jbest)
+        bids_mat = jnp.where(
+            jax.nn.one_hot(jbest, m, dtype=bool) & unassigned[..., None],
+            bid[..., None], _NEG)                     # (B, N, M)
+        win_bid = jnp.max(bids_mat, axis=1)           # (B, M)
+        win_person = jnp.argmax(bids_mat, axis=1)     # (B, M)
+        got_bid = win_bid > _NEG / 2
+
+        new_prices = jnp.where(got_bid, win_bid, prices)
+        # previous owner of a re-auctioned object loses it
+        new_owner = jnp.where(got_bid, win_person.astype(jnp.int32), owner)
+
+        # rebuild person->object from object->person (one pass, no scatter)
+        obj_ids = jnp.arange(m, dtype=jnp.int32)
+        assign_new = jnp.full((b, n), -1, jnp.int32)
+        onehot_owner = jax.nn.one_hot(
+            jnp.where(new_owner >= 0, new_owner, n), n + 1,
+            dtype=jnp.int32)[..., :n]                 # (B, M, N)
+        assign_new = jnp.einsum(
+            "bmn,m->bn", onehot_owner, obj_ids + 1).astype(jnp.int32) - 1
+
+        return assign_new, new_owner, new_prices, sweeps + 1
+
+    assign0 = jnp.full((b, n), -1, jnp.int32)
+    owner0 = jnp.full((b, m), -1, jnp.int32)
+    assign, owner, prices, sweeps = jax.lax.while_loop(
+        cond, body, (assign0, owner0, prices, jnp.zeros((), jnp.int32)))
+    return assign, prices, sweeps
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "max_sweeps"))
+def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
+                       scale_factor: float = 6.0, max_sweeps: int = 2000,
+                       prices0: jax.Array | None = None,
+                       eps0: jax.Array | float | None = None):
+    """Solve min_perm mean_i C[i, perm(i)] for a batch of square costs.
+
+    cost: (B, N, N). Returns (assignment (B, N) int32, total sweeps used).
+    eps-scaling: eps starts at ~max|C|/8 and divides by ``scale_factor``
+    until <= eps_final. ``prices0``/``eps0`` warm-start the dual prices —
+    e.g. from annealed-Sinkhorn potentials (see ``hybrid_emd2``), which
+    skips the expensive large-eps price-discovery phases entirely.
+    """
+    b, n, m = cost.shape
+    assert n == m, "auction solves the equal-size assignment case"
+    c_range = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12))
+
+    def cond(carry):
+        done, *_ = carry
+        return jnp.logical_not(done)
+
+    def phase(carry):
+        done, eps, prices, assign, total = carry
+        assign, prices, s = _auction_phase(
+            cost, prices, jnp.maximum(eps, eps_final), max_sweeps)
+        return (eps <= eps_final, eps / scale_factor, prices, assign,
+                total + s)
+
+    if eps0 is None:
+        eps0 = c_range / 8.0
+    if prices0 is None:
+        prices0 = jnp.zeros((b, m), cost.dtype)
+    assign0 = jnp.zeros((b, n), jnp.int32)
+    done, eps, prices, assign, total = jax.lax.while_loop(
+        cond, phase,
+        (jnp.zeros((), bool), jnp.asarray(eps0, cost.dtype), prices0,
+         assign0, jnp.zeros((), jnp.int32)))
+    return assign, total
+
+
+def _assignment_cost(cost, assign):
+    b, n, _ = cost.shape
+    picked = jnp.take_along_axis(cost, assign[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    return jnp.mean(picked, axis=-1)
+
+
+def _hybrid_assignment(cost, eps_final, sink_eps=1e-5, sink_iters=100,
+                       sink_scales=8, max_sweeps=4000):
+    """Annealed-Sinkhorn duals -> auction cleanup. The Sinkhorn potentials
+    are eps-complementary-slack prices, so the auction skips its expensive
+    price-discovery phases and only resolves the near-ties the entropic
+    plan mixes (the failure mode that costs synchronous auction ~50k sweeps
+    from cold prices at awkward cost spreads)."""
+    from .sinkhorn import emd2_approx
+    _, f, g = emd2_approx(cost, eps=sink_eps, num_iters=sink_iters,
+                          num_scales=sink_scales, return_potentials=True)
+    prices0 = jax.lax.stop_gradient(-g)      # benefit = -C; dual price ~ g
+    # start eps well below the cost range (the warm prices carry the coarse
+    # structure) but high enough to repair unconverged duals on far clouds:
+    # range/1e4 measured best across spreads (72-280 ms at N=1200 vs 60 s
+    # for eps0 ~ eps_final and 95 s for cold-start-style range/8)
+    c_range = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12))
+    eps0 = jnp.maximum(c_range * 1e-4, eps_final * 10.0).astype(cost.dtype)
+    assign, sweeps = auction_assignment(jax.lax.stop_gradient(cost),
+                                        eps_final, max_sweeps=max_sweeps,
+                                        prices0=prices0, eps0=eps0)
+    # sweep-cap safety: any person still unassigned falls back to its row
+    # argmin (never triggers with warm-started prices in practice; avoids
+    # out-of-range gathers if it ever does)
+    assign = jnp.where(assign < 0,
+                       jnp.argmin(cost, axis=-1).astype(jnp.int32), assign)
+    return assign, sweeps
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def hybrid_emd2(cost: jax.Array, eps_final: float = 1e-7) -> jax.Array:
+    """Exact EMD for (B, N, N) uniform problems, all on device: annealed
+    Sinkhorn for the duals + warm-started auction for the exact permutation.
+    Differentiable wrt cost (VJP = permutation plan / N)."""
+    assign, _ = _hybrid_assignment(cost, eps_final)
+    return _assignment_cost(cost, assign)
+
+
+def _hybrid_fwd(cost, eps_final):
+    assign, _ = _hybrid_assignment(cost, eps_final)
+    return _assignment_cost(cost, assign), (assign, cost.shape[-1])
+
+
+hybrid_emd2.defvjp(_hybrid_fwd, lambda eps, res, g: _emd2_bwd(eps, res, g))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def auction_emd2(cost: jax.Array, eps_final: float = 1e-6) -> jax.Array:
+    """Exact (to N * eps_final) EMD <P*, C> for (B, N, N) uniform problems.
+
+    Differentiable wrt cost: VJP = the optimal permutation plan / N —
+    the same envelope gradient the reference extracts from ``ot.emd2``.
+    """
+    assign, _ = auction_assignment(cost, eps_final)
+    return _assignment_cost(cost, assign)
+
+
+def _emd2_fwd(cost, eps_final):
+    assign, _ = auction_assignment(cost, eps_final)
+    return _assignment_cost(cost, assign), (assign, cost.shape[-1])
+
+
+def _emd2_bwd(eps_final, res, g):
+    assign, n = res
+    plan = jax.nn.one_hot(assign, n, dtype=g.dtype) / n     # (B, N, N)
+    return (g[:, None, None] * plan,)
+
+
+auction_emd2.defvjp(_emd2_fwd, _emd2_bwd)

@@ -65,12 +65,16 @@ def emd2_exact(cost: np.ndarray, a: np.ndarray | None = None,
 
     # fast path: uniform marginals with n == m reduce to an assignment
     # problem (Birkhoff) — scipy's JV solver is ~10x our simplex there.
-    if (not return_plan and n == m
-            and np.allclose(a, 1.0 / n) and np.allclose(b, 1.0 / m)):
+    if n == m and np.allclose(a, 1.0 / n) and np.allclose(b, 1.0 / m):
         try:
             from scipy.optimize import linear_sum_assignment
             r, c = linear_sum_assignment(cost)
-            return float(cost[r, c].mean())
+            val = float(cost[r, c].mean())
+            if not return_plan:
+                return val
+            plan = np.zeros((n, m), np.float64)
+            plan[r, c] = 1.0 / n
+            return val, plan
         except Exception:
             pass
 
@@ -94,6 +98,59 @@ def emd2_exact(cost: np.ndarray, a: np.ndarray | None = None,
 def emd2_exact_batch(cost: np.ndarray) -> np.ndarray:
     """(B, n, m) costs -> (B,) exact EMDs (host loop; eval-only tool)."""
     return np.array([emd2_exact(c) for c in cost])
+
+
+# ---------------------------------------------------------------------------
+# differentiable JAX bridge: value on host, gradient = optimal plan
+# ---------------------------------------------------------------------------
+
+def _solve_batch_with_plans(cost):
+    cost = np.asarray(cost, np.float64)
+    vals = np.zeros(cost.shape[0], np.float32)
+    plans = np.zeros(cost.shape, np.float32)
+    for i, c in enumerate(cost):
+        v, p = emd2_exact(c, return_plan=True)
+        vals[i] = v
+        plans[i] = p
+    return vals, plans
+
+
+def emd2_exact_jax(cost):
+    """Exact <P*, C> per batch item, differentiable wrt the cost matrix.
+
+    cost: (B, n, m) JAX array. The solve runs on host (pure_callback into the
+    native network simplex / JV assignment); the VJP is the optimal transport
+    plan (envelope theorem — exactly how the reference gets gradients out of
+    ``ot.emd2``, s2_wasserstein.py:40-45, POT's torch backend). Gradients to
+    the *points* flow through the cost-matrix construction on device.
+
+    This is the parity solver ('exact' in TransportConfig): bitwise-faithful
+    to the reference's loss semantics, at host-callback speed. The fast TPU
+    paths are 'sinkhorn' (Pallas eps-scaled) and 'ssw'.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_vjp
+    def _emd(c):
+        vals, _ = _call(c)
+        return vals
+
+    def _call(c):
+        shape = (jax.ShapeDtypeStruct((c.shape[0],), jnp.float32),
+                 jax.ShapeDtypeStruct(c.shape, jnp.float32))
+        return jax.pure_callback(_solve_batch_with_plans, shape, c,
+                                 vmap_method="sequential")
+
+    def fwd(c):
+        vals, plans = _call(c)
+        return vals, plans
+
+    def bwd(plans, g):
+        return (g[:, None, None] * plans,)
+
+    _emd.defvjp(fwd, bwd)
+    return _emd(cost)
 
 
 def w2_exact(x: np.ndarray, y: np.ndarray) -> float:

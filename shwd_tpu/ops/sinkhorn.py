@@ -70,10 +70,13 @@ def _plan_cost(cost, f, g, log_a, log_b, eps):
     return jnp.sum(p * cost, axis=(-2, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "num_scales"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_iters", "num_scales",
+                                    "return_potentials"))
 def emd2_approx(cost: jax.Array, eps: float = 5e-3, num_iters: int = 50,
                 num_scales: int = 4, a: jax.Array | None = None,
-                b: jax.Array | None = None) -> jax.Array:
+                b: jax.Array | None = None,
+                return_potentials: bool = False) -> jax.Array:
     """Near-exact EMD <P*, C> via epsilon-scaled log-Sinkhorn.
 
     Drop-in for the reference's per-item ``ot.emd2`` calls
@@ -114,7 +117,34 @@ def emd2_approx(cost: jax.Array, eps: float = 5e-3, num_iters: int = 50,
         return jax.lax.fori_loop(0, num_iters, body, (f, g))
 
     f, g = jax.lax.fori_loop(0, num_scales, scale_body, (f, g))
+    if return_potentials:
+        return _plan_cost(cost, f, g, log_a, log_b, eps), f, g
     return _plan_cost(cost, f, g, log_a, log_b, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "num_scales"))
+def sinkhorn_divergence_cost(c_xy: jax.Array, c_xx: jax.Array,
+                             c_yy: jax.Array, eps: float = 5e-3,
+                             num_iters: int = 50, num_scales: int = 4
+                             ) -> jax.Array:
+    """Debiased entropic OT: S = W(x,y) - (W(x,x) + W(y,y)) / 2.
+
+    The sharp entropic cost <P, C> has an O(eps) bias floor when the two
+    measures are close — the plan blurs over an eps-ball, so the surrogate
+    (and its gradient) stops resolving differences below that scale, which
+    stalls Wasserstein flows well above the exact-EMD fixed point. The
+    divergence subtracts the same floor via the self-transport terms and is
+    zero iff the measures coincide, restoring useful gradients down to ~0
+    at unchanged eps. (This replaces the *accuracy* role of the reference's
+    exact ``ot.emd2``; the 'exact' solver replaces its semantics bitwise.)
+    """
+    v_xy = emd2_approx(c_xy, eps=eps, num_iters=num_iters,
+                       num_scales=num_scales)
+    v_xx = emd2_approx(c_xx, eps=eps, num_iters=num_iters,
+                       num_scales=num_scales)
+    v_yy = emd2_approx(c_yy, eps=eps, num_iters=num_iters,
+                       num_scales=num_scales)
+    return jnp.maximum(v_xy - 0.5 * (v_xx + v_yy), 0.0)
 
 
 def sinkhorn_loss(x: jax.Array, y: jax.Array, eps: float = 0.01,

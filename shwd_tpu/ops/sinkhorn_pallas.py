@@ -87,15 +87,20 @@ def _make_kernel(n: int, m: int, n_pad: int, m_pad: int, tb: int,
         cv = jax.lax.broadcasted_iota(jnp.int32, (n_pad, m_pad), 1) < m
         vmask = (rv & cv).astype(jnp.float32)                 # (Np, Mp)
 
-        # batched x @ y^T on the MXU: (TB, Np, Mp)
-        xy = jax.lax.dot_general(
-            x, y, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
         if kind in ("lp", "sqeuclidean"):
-            x2 = jnp.sum(x * x, axis=-1)[:, :, None]
-            y2 = jnp.sum(y * y, axis=-1)[:, None, :]
-            c = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+            # direct squared differences, unrolled over the 3 coords (all
+            # rank-3, Mosaic-friendly): exact where the matmul expansion
+            # x2 + y2 - 2xy cancels catastrophically for near-coincident
+            # clouds
+            c = jnp.zeros((x.shape[0], n_pad, m_pad), jnp.float32)
+            for d in range(x.shape[-1]):
+                dd = x[:, :, d][:, :, None] - y[:, :, d][:, None, :]
+                c = c + dd * dd
         else:
+            # batched x @ y^T on the MXU: (TB, Np, Mp)
+            xy = jax.lax.dot_general(
+                x, y, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
             xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1), 1e-16))[:, :, None]
             yn = jnp.sqrt(jnp.maximum(jnp.sum(y * y, -1), 1e-16))[:, None, :]
             cos = xy / (xn * yn)

@@ -48,8 +48,13 @@ def project_to_circle(x: jax.Array, frames: jax.Array) -> jax.Array:
     angle convention matches the reference exactly
     ((atan2(-y, -x) + pi) / 2pi, ``max_spherical_sliced_w.py:278-279``).
     """
-    # (..., L, N, 2)
-    proj = jnp.einsum("...nd,...ldk->...lnk", x, frames)
+    # (..., L, N, 2) — explicit K=3 contraction on the VPU: exact f32
+    # (default-precision MXU einsum adds bf16 noise that floors every
+    # downstream 1D OT at ~1e-3; HIGHEST-precision einsum is exact but
+    # costs 6 MXU passes and halved the flow-step benchmark)
+    xb = x[..., None, :, :]                              # (..., 1, N, 3)
+    fb = frames[..., :, None, :, :]                      # (..., L, 1, 3, 2)
+    proj = sum(xb[..., d : d + 1] * fb[..., d, :] for d in range(x.shape[-1]))
     norm = jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12)
     proj = proj / norm
     ang = (jnp.arctan2(-proj[..., 1], -proj[..., 0]) + jnp.pi) / _TWO_PI

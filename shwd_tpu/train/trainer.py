@@ -102,7 +102,10 @@ class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
         self.model = PCRNet()
-        self.opt = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        # coupled-L2 Adam = torch.optim.Adam(lr, weight_decay)
+        # (train_W_COS.py:374) — NOT decoupled adamw
+        from ..utils.optim import torch_adam
+        self.opt = torch_adam(cfg.lr, cfg.weight_decay)
         self.crit_init, self.crit_apply = build_criterion(cfg)
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._eval)
