@@ -1,31 +1,43 @@
-"""Flow_cube parity run on the real TPU: notebook config, exact-W2 eval."""
+"""Flow parity runs on the real TPU: notebook configs, exact-W2 eval."""
 import dataclasses
 import json
+import sys
 import time
 
 import jax
 import numpy as np
 
-from shwd_tpu.ops.sphere_sampling import sample_cube_surface
+from shwd_tpu.ops.sphere_sampling import (sample_cube_surface,
+                                          sample_ellipsoid_surface)
 from shwd_tpu.train.flow_driver import FlowConfig, run_flow
 
 key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)
-N = 1200
-source = sample_cube_surface(k1, N)
-target = sample_cube_surface(k2, N, biased=True)
 
-base = dict(num_iterations=400, eval_interval=5, lr=0.01,
+experiment = sys.argv[1] if len(sys.argv) > 1 else "cube"
+if experiment == "cube":
+    N, iters = 1200, 400
+    source = sample_cube_surface(k1, N)
+    target = sample_cube_surface(k2, N, biased=True)
+else:
+    N, iters = 1000, 1000
+    source = sample_ellipsoid_surface(k1, N)
+    target = sample_ellipsoid_surface(k2, N, biased=True)
+
+base = dict(num_iterations=iters, eval_interval=5, lr=0.01,
             num_projections=100, shwd_layers=5, shwd_lam=0.1,
             shwd_max_iter=1, shwd_phi_lr=0.001, shwd_phi_wd=0.1, seed=0)
 
 methods = [
-    ("SHWD", dict(method="SHWD", shwd_solver="sinkhorn")),
+    ("SHWD", dict(method="SHWD", shwd_solver="hybrid")),
+    ("SHWD-sinkhorn", dict(method="SHWD", shwd_solver="sinkhorn")),
     ("SHWD-SSW", dict(method="SHWD", shwd_solver="ssw")),
     ("ASWD", dict(method="ASWD")),
     ("SWD", dict(method="SWD")),
     ("SSWD", dict(method="SSWD")),
     ("CD", dict(method="CD")),
+    ("MSWD", dict(method="MSWD")),
+    ("W2-direct", dict(method="W2")),
 ]
 
 rows = []
@@ -33,13 +45,14 @@ for name, overrides in methods:
     cfg = FlowConfig(**{**base, **overrides})
     t0 = time.time()
     res = run_flow(source, target, cfg)
-    final_w2 = float(res.eval_values[-1])
-    best_w2 = float(np.min(res.eval_values))
-    sec_per_iter = float(np.mean(res.interval_seconds)) / cfg.eval_interval
-    row = dict(method=name, final_w2=final_w2, best_w2=best_w2,
-               sec_per_iter=sec_per_iter, total_s=time.time() - t0)
+    row = dict(method=name,
+               final_w2=float(res.eval_values[-1]),
+               best_w2=float(np.min(res.eval_values)),
+               sec_per_iter=float(np.mean(res.interval_seconds))
+               / cfg.eval_interval,
+               total_s=time.time() - t0)
     rows.append(row)
     print(json.dumps(row), flush=True)
 
-with open("_flow_results.json", "w") as f:
+with open(f"_flow_results_{experiment}.json", "w") as f:
     json.dump(rows, f, indent=1)
