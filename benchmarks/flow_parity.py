@@ -1,8 +1,20 @@
-"""Flow parity runs on the real TPU: notebook configs, exact-W2 eval."""
-import dataclasses
+"""Flow parity runs on the real TPU: notebook configs, exact-W2 eval.
+
+Reproduces the reference's gradient-flow benchmark
+(``Wasserstein_flow_problem/Flow_{cube,ellipsoid,ellipsoid_2}.ipynb`` cell 8;
+numbers in BASELINE.md / SURVEY.md §6): deform a uniform surface cloud into a
+biased one by Adam on the point coordinates, one loss method at a time, and
+evaluate with exact W2 every ``eval_interval`` iterations.
+
+Usage: python benchmarks/flow_parity.py [cube|ellipsoid|ellipsoid_2] [method ...]
+Writes benchmarks/results_<experiment>.json.
+"""
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
@@ -15,14 +27,19 @@ key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)
 
 experiment = sys.argv[1] if len(sys.argv) > 1 else "cube"
+only = set(sys.argv[2:])
 if experiment == "cube":
     N, iters = 1200, 400
     source = sample_cube_surface(k1, N)
     target = sample_cube_surface(k2, N, biased=True)
-else:
+elif experiment == "ellipsoid":
     N, iters = 1000, 1000
     source = sample_ellipsoid_surface(k1, N)
-    target = sample_ellipsoid_surface(k2, N, biased=True)
+    target = sample_ellipsoid_surface(k2, N, biased_scale=0.25)
+else:  # ellipsoid_2: tighter bias (Flow_ellipsoid_2.ipynb cell 2)
+    N, iters = 1000, 1000
+    source = sample_ellipsoid_surface(k1, N)
+    target = sample_ellipsoid_surface(k2, N, biased_scale=0.1)
 
 base = dict(num_iterations=iters, eval_interval=5, lr=0.01,
             num_projections=100, shwd_layers=5, shwd_lam=0.1,
@@ -42,6 +59,8 @@ methods = [
 
 rows = []
 for name, overrides in methods:
+    if only and name not in only:
+        continue
     cfg = FlowConfig(**{**base, **overrides})
     t0 = time.time()
     res = run_flow(source, target, cfg)
@@ -54,5 +73,13 @@ for name, overrides in methods:
     rows.append(row)
     print(json.dumps(row), flush=True)
 
-with open(f"_flow_results_{experiment}.json", "w") as f:
-    json.dump(rows, f, indent=1)
+out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   f"results_{experiment}.json")
+merged: dict[str, dict] = {}
+if os.path.exists(out):
+    with open(out) as f:
+        merged = {r["method"]: r for r in json.load(f)}
+merged.update({r["method"]: r for r in rows})
+with open(out, "w") as f:
+    json.dump([merged[m] for m, _ in methods if m in merged], f, indent=1)
+print(f"wrote {out}")

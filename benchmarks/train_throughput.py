@@ -1,5 +1,10 @@
 """W_COS train-step throughput (clouds/s) on the real chip, canonical config."""
-import dataclasses, time
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np, jax, jax.numpy as jnp
 from shwd_tpu.data.transforms import RegistrationBatch
 from shwd_tpu.losses import SHWDConfig, TransportConfig
