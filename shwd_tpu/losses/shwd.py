@@ -156,15 +156,22 @@ class SHWDLoss:
                                        opt_state=self.opt.init(params),
                                        key=k_use)
             if cfg.early_stop_strikes > 0:
-                # run the inner loop only while strikes below the limit
-                (p_new, fs_new, os_new), key = self._inner_scan(state, x, y)
+                # run the inner loop only while strikes are below the limit;
+                # lax.cond executes a single branch at runtime, so once the
+                # strike limit is hit the inner adversarial work is actually
+                # SKIPPED (the reference's point: regulation.py:795-855), not
+                # computed-and-discarded.
+                def _run(_):
+                    return self._inner_scan(state, x, y)
+
+                def _skip(_):
+                    keys = jax.random.split(state.key, cfg.max_iter + 1)
+                    return ((state.phi_params, state.phi_state,
+                             state.opt_state), keys[-1])
+
                 go = state.strikes <= cfg.early_stop_strikes
-                params = jax.tree.map(
-                    lambda a, b: jnp.where(go, a, b), p_new, state.phi_params)
-                fstate = jax.tree.map(
-                    lambda a, b: jnp.where(go, a, b), fs_new, state.phi_state)
-                opt_state = jax.tree.map(
-                    lambda a, b: jnp.where(go, a, b), os_new, state.opt_state)
+                (params, fstate, opt_state), key = jax.lax.cond(
+                    go, _run, _skip, None)
             else:
                 (params, fstate, opt_state), key = self._inner_scan(state, x, y)
             lam = state.lam * cfg.lam_decay

@@ -62,6 +62,12 @@ class TrainConfig:
     seed: int = 1234
     load_model: Optional[str] = None
 
+    # NaN forensics: on a non-finite train loss, dump the offending batch +
+    # full train state to <log_dir>/<experiment>/nan_dump/ and raise
+    # (reference nan_check semantics,
+    # max_spherical_w_cos_with_regulation.py:133-142, 529-553)
+    nan_guard: bool = False
+
     # parallel
     mesh_data: Optional[int] = None      # None = all devices on data axis
     mesh_slices: int = 1

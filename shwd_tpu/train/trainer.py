@@ -107,6 +107,8 @@ class Trainer:
         from ..utils.optim import torch_adam
         self.opt = torch_adam(cfg.lr, cfg.weight_decay)
         self.crit_init, self.crit_apply = build_criterion(cfg)
+        self._early_stop_enabled = (cfg.criterion in ("w_cos", "w1_cos")
+                                    and cfg.shwd.early_stop_strikes > 0)
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._eval)
 
@@ -154,21 +156,56 @@ class Trainer:
         total, count = 0.0, 0
         for batch in dataset.batches(key, indices, self.cfg.batch_size,
                                      shuffle=True, rng=rng):
-            state, loss = self._train_step(state, batch, train=True)
-            total += float(loss)
+            new_state, loss = self._train_step(state, batch, train=True)
+            loss = float(loss)
+            if self.cfg.nan_guard and not np.isfinite(loss):
+                self._dump_nan_forensics(state, batch, loss)
+            state = new_state
+            total += loss
             count += 1
         return state, total / max(count, 1)
 
+    def _dump_nan_forensics(self, state, batch, loss):
+        """Reference nan_check semantics
+        (max_spherical_w_cos_with_regulation.py:133-142, 529-553): persist the
+        offending inputs and the pre-step train state (incl. phi params/opt),
+        then raise."""
+        dump_dir = Path(self.cfg.log_dir) / self.cfg.experiment / "nan_dump"
+        dump_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(dump_dir / "batch.npz",
+                 source=np.asarray(batch.source),
+                 target=np.asarray(batch.target),
+                 igt_rotation=np.asarray(batch.igt_rotation),
+                 igt_translation=np.asarray(batch.igt_translation))
+        save_checkpoint(dump_dir / "state_pre_step", state,
+                        int(state.epoch) if np.ndim(state.epoch) == 0 else 0)
+        raise FloatingPointError(
+            f"non-finite train loss ({loss}); batch and pre-step state "
+            f"dumped to {dump_dir}")
+
     def eval_one_epoch(self, state, dataset, indices, key):
-        losses, rots, trans = [], [], []
+        """Sample-weighted validation means over ALL val items.
+
+        Uses drop_remainder=False so a val split smaller than batch_size
+        still evaluates (the round-1 empty-val bug); raises rather than
+        silently returning 0.0 when there is nothing to evaluate.
+        """
+        loss_sum = rot_sum = trans_sum = 0.0
+        n_items = 0
         for batch in dataset.batches(key, indices, self.cfg.batch_size,
-                                     shuffle=False):
+                                     shuffle=False, drop_remainder=False):
             loss, r, t = self._eval_step(state, batch)
-            losses.append(float(loss))
-            rots.append(float(r))
-            trans.append(float(t))
-        n = max(len(losses), 1)
-        return (sum(losses) / n, sum(rots) / n, sum(trans) / n)
+            b = batch.source.shape[0]
+            loss_sum += float(loss) * b
+            rot_sum += float(r) * b
+            trans_sum += float(t) * b
+            n_items += b
+        if n_items == 0:
+            raise ValueError(
+                "validation set produced no batches — check val_split / "
+                "batch_size (eval never drops remainders, so this means the "
+                "val index set itself is empty)")
+        return (loss_sum / n_items, rot_sum / n_items, trans_sum / n_items)
 
     # -- full run ----------------------------------------------------------
 
@@ -211,7 +248,15 @@ class Trainer:
                 state, val_src, val_idx, k_val)
             dt = time.perf_counter() - t0
 
-            if val_loss < best["loss"]:
+            improved = val_loss < best["loss"]
+            if not improved and self._early_stop_enabled:
+                # early-stop variant (regulation.py:795-855): a non-improving
+                # epoch counts a strike; past the limit the SHWD inner
+                # adversarial loop is skipped (lax.cond in SHWDLoss.apply)
+                state = state._replace(
+                    crit_state=state.crit_state._replace(
+                        strikes=state.crit_state.strikes + 1))
+            if improved:
                 best["loss"] = val_loss
                 save_checkpoint(models_dir / "best_model_snap", state, epoch + 1)
             if rot_err < best["rot"]:

@@ -110,6 +110,35 @@ def test_shwd_refresh_variant():
     assert np.isfinite(float(s2.lam))
 
 
+def test_shwd_early_stop_skips_inner_work():
+    """regulation.py:795-855: past the strike limit the inner adversarial
+    optimization is skipped entirely — phi params must come out unchanged."""
+    import dataclasses
+    cfg = dataclasses.replace(SHWD_CFG, early_stop_strikes=2, max_iter=1)
+    crit = SHWDLoss(make_flow("Residual", 1, hidden_layers=3), cfg)
+    state = crit.init(jax.random.PRNGKey(0))
+    x, y = small_clouds(jax.random.PRNGKey(1))
+
+    # below the limit: inner loop runs, phi changes
+    (_, _, _), s_run = crit.apply(state, x, y, train=True)
+    diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.phi_params, s_run.phi_params)))
+    assert diff > 0
+
+    # past the limit: phi frozen
+    struck = state._replace(strikes=jnp.asarray(3, jnp.int32))
+    (w, _, _), s_skip = crit.apply(struck, x, y, train=True)
+    assert np.isfinite(float(w))
+    diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.phi_params, s_skip.phi_params)))
+    assert diff == 0
+
+    # add_strike increments the counter
+    assert int(crit.add_strike(state).strikes) == 1
+
+
 def test_pseudo_shwd_combines():
     flow = make_flow("Residual", 1, hidden_layers=3)
     x, y = small_clouds(jax.random.PRNGKey(1))

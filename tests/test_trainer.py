@@ -42,7 +42,12 @@ def test_trainer_runs_and_checkpoints(tmp_path, criterion):
     result = tr.fit(ds, verbose=False)
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["train_loss"])
-    assert np.isfinite(result["history"][-1]["rot_error"])
+    # the val split (3 of 16 items, < batch_size) must still be evaluated —
+    # round-1 regression: drop_remainder silently yielded 0 val batches and
+    # a fake 0.0 rot error. An untrained model on 45-deg-range poses must
+    # show a clearly nonzero error.
+    rot = result["history"][-1]["rot_error"]
+    assert np.isfinite(rot) and rot > 1.0
     # checkpoint exists and loads back into the same structure
     state, epoch = load_checkpoint(
         tmp_path / "t" / "models" / "best_model_snap", result["state"])
@@ -63,6 +68,50 @@ def test_trainer_resume(tmp_path):
     tr2 = Trainer(cfg2)
     res = tr2.fit(ds, verbose=False)
     assert res["history"][-1]["epoch"] == 3
+
+
+def test_eval_raises_on_empty_val_set(tmp_path):
+    cfg = tiny_config(tmp_path, "cd")
+    tr = Trainer(cfg)
+    ds = RegistrationDataset(cfg.dataset, "train")
+    state = tr.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="no batches"):
+        tr.eval_one_epoch(state, ds, np.array([], dtype=int),
+                          jax.random.PRNGKey(1))
+
+
+def test_early_stop_strikes_wired(tmp_path):
+    """Trainer counts a strike for every non-improving val epoch; the
+    criterion state carries the counter (regulation.py:795-855)."""
+    cfg = tiny_config(tmp_path, "w_cos")
+    cfg = dataclasses.replace(
+        cfg, num_epochs=4,
+        shwd=dataclasses.replace(cfg.shwd, early_stop_strikes=1))
+    tr = Trainer(cfg)
+    assert tr._early_stop_enabled
+    ds = RegistrationDataset(cfg.dataset, "train")
+    res = tr.fit(ds, verbose=False)
+    h = res["history"]
+    non_improving = sum(
+        1 for i, row in enumerate(h)
+        if row["val_loss"] >= min([np.inf] + [r["val_loss"] for r in h[:i]]))
+    assert int(res["state"].crit_state.strikes) == non_improving
+
+
+def test_nan_guard_dumps_and_raises(tmp_path, monkeypatch):
+    cfg = dataclasses.replace(tiny_config(tmp_path, "cd"), nan_guard=True)
+    tr = Trainer(cfg)
+    ds = RegistrationDataset(cfg.dataset, "train")
+    state = tr.init_state(jax.random.PRNGKey(0))
+    monkeypatch.setattr(
+        tr, "_train_step",
+        lambda s, b, train=True: (s, jnp.asarray(float("nan"))))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        tr.train_one_epoch(state, ds, np.arange(len(ds)),
+                           jax.random.PRNGKey(1), np.random.default_rng(0))
+    dump = tmp_path / "t" / "nan_dump"
+    assert (dump / "batch.npz").exists()
+    assert (dump / "state_pre_step.npz").exists()
 
 
 def test_config_roundtrip(tmp_path):
