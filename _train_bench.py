@@ -1,31 +1,49 @@
-"""Short registration training on the real TPU: W_COS vs CD convergence."""
-import json, time, dataclasses
-import numpy as np
+"""Registration training on the real TPU: prove the trainer learns.
+
+Runs the canonical-ish config (128 pts, batch 128, noise 0.02, 45-deg /
+1.0-unit pose range — train_RUNNER.py:95-132 values) for each requested
+criterion and records the full rot/trans-error curves. Appends one JSON
+object per criterion to benchmarks/registration_tpu.json.
+
+Usage: python _train_bench.py <criterion> <epochs> [out_json]
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
 from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
-from shwd_tpu.losses import SHWDConfig, TransportConfig
 from shwd_tpu.train import TrainConfig, Trainer
 
-def run(criterion, epochs):
+
+def run(criterion: str, epochs: int, num_synthetic: int = 2048) -> dict:
     cfg = TrainConfig(
         experiment=f"bench_{criterion}",
         log_dir="log",
         criterion=criterion,
         dataset=DatasetConfig(
-            source_point_num=128, target_point_num=128, num_synthetic=512,
+            source_point_num=128, target_point_num=128,
+            num_synthetic=num_synthetic,
+            # composite (chiral) shapes: pose is identifiable, like
+            # ModelNet objects; the symmetric primitives put a ~25-deg
+            # floor under rot error (flip-ambiguous minima)
+            synthetic_kinds=("composite",),
             cache_dir="modelnet_cache",
             transform=TransformConfig(noise_sigma=0.02)),
         num_epochs=epochs,
         batch_size=128,
         pcr_iteration_num=3,
+        nan_guard=True,
     )
     tr = Trainer(cfg)
     ds = RegistrationDataset(cfg.dataset, "train")
     t0 = time.perf_counter()
-    res = tr.fit(ds, verbose=False)
+    res = tr.fit(ds, verbose=True)
     dt = time.perf_counter() - t0
     h = res["history"]
     return {
         "criterion": criterion, "epochs": epochs,
+        "num_synthetic": num_synthetic,
         "total_s": dt, "s_per_epoch": dt / epochs,
         "first_rot_error": h[0]["rot_error"],
         "best_rot_error": res["best"]["rot"],
@@ -33,12 +51,26 @@ def run(criterion, epochs):
         "final_rot_error": h[-1]["rot_error"],
         "final_trans_error": h[-1]["trans_error"],
         "rot_curve_every10": [r["rot_error"] for r in h[::10]],
+        "trans_curve_every10": [r["trans_error"] for r in h[::10]],
     }
 
-out = []
-for crit, ep in [("w_cos", 300), ("cd", 300)]:
-    r = run(crit, ep)
+
+def main():
+    criterion = sys.argv[1] if len(sys.argv) > 1 else "w_cos"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    out_path = Path(sys.argv[3] if len(sys.argv) > 3
+                    else "benchmarks/registration_tpu.json")
+    r = run(criterion, epochs)
     print(json.dumps(r))
-    out.append(r)
-json.dump(out, open("benchmarks/registration_tpu.json", "w"), indent=1)
-print("DONE")
+    existing = []
+    if out_path.exists():
+        existing = json.loads(out_path.read_text())
+        existing = [e for e in existing if e["criterion"] != criterion]
+    existing.append(r)
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=1)
+    print("DONE", criterion)
+
+
+if __name__ == "__main__":
+    main()

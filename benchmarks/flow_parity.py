@@ -6,8 +6,11 @@ numbers in BASELINE.md / SURVEY.md §6): deform a uniform surface cloud into a
 biased one by Adam on the point coordinates, one loss method at a time, and
 evaluate with exact W2 every ``eval_interval`` iterations.
 
-Usage: python benchmarks/flow_parity.py [cube|ellipsoid|ellipsoid_2] [method ...]
-Writes benchmarks/results_<experiment>.json.
+Usage: python benchmarks/flow_parity.py [cube|ellipsoid|ellipsoid_2]
+           [method ...] [--eval-metric cd] [--eval-interval N]
+Writes benchmarks/results_<experiment>[_cd].json. ``--eval-metric cd``
+reproduces the ``Flow_*_CD_metric.ipynb`` twins (Chamfer eval instead of
+exact W2).
 """
 import json
 import os
@@ -26,8 +29,20 @@ from shwd_tpu.train.flow_driver import FlowConfig, run_flow
 key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)
 
-experiment = sys.argv[1] if len(sys.argv) > 1 else "cube"
-only = set(sys.argv[2:])
+argv = sys.argv[1:]
+eval_metric = "w2"
+eval_interval = None
+if "--eval-metric" in argv:
+    i = argv.index("--eval-metric")
+    eval_metric = argv[i + 1]
+    argv = argv[:i] + argv[i + 2:]
+if "--eval-interval" in argv:
+    i = argv.index("--eval-interval")
+    eval_interval = int(argv[i + 1])
+    argv = argv[:i] + argv[i + 2:]
+
+experiment = argv[0] if argv else "cube"
+only = set(argv[1:])
 if experiment == "cube":
     N, iters = 1200, 400
     source = sample_cube_surface(k1, N)
@@ -41,9 +56,11 @@ else:  # ellipsoid_2: tighter bias (Flow_ellipsoid_2.ipynb cell 2)
     source = sample_ellipsoid_surface(k1, N)
     target = sample_ellipsoid_surface(k2, N, biased_scale=0.1)
 
-base = dict(num_iterations=iters, eval_interval=5, lr=0.01,
-            num_projections=100, shwd_layers=5, shwd_lam=0.1,
-            shwd_max_iter=1, shwd_phi_lr=0.001, shwd_phi_wd=0.1, seed=0)
+base = dict(num_iterations=iters,
+            eval_interval=eval_interval or (5 if iters <= 400 else 25),
+            lr=0.01, num_projections=100, shwd_layers=5, shwd_lam=0.1,
+            shwd_max_iter=1, shwd_phi_lr=0.001, shwd_phi_wd=0.1, seed=0,
+            eval_metric=eval_metric)
 
 methods = [
     ("SHWD", dict(method="SHWD", shwd_solver="hybrid")),
@@ -57,6 +74,7 @@ methods = [
     ("W2-direct", dict(method="W2")),
 ]
 
+metric_key = "final_w2" if eval_metric == "w2" else "final_cd"
 rows = []
 for name, overrides in methods:
     if only and name not in only:
@@ -64,17 +82,19 @@ for name, overrides in methods:
     cfg = FlowConfig(**{**base, **overrides})
     t0 = time.time()
     res = run_flow(source, target, cfg)
-    row = dict(method=name,
-               final_w2=float(res.eval_values[-1]),
-               best_w2=float(np.min(res.eval_values)),
-               sec_per_iter=float(np.mean(res.interval_seconds))
-               / cfg.eval_interval,
-               total_s=time.time() - t0)
+    row = {"method": name,
+           metric_key: float(res.eval_values[-1]),
+           metric_key.replace("final", "best"):
+               float(np.min(res.eval_values)),
+           "sec_per_iter": float(np.mean(res.interval_seconds))
+           / cfg.eval_interval,
+           "total_s": time.time() - t0}
     rows.append(row)
     print(json.dumps(row), flush=True)
 
+suffix = "" if eval_metric == "w2" else f"_{eval_metric}"
 out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   f"results_{experiment}.json")
+                   f"results_{experiment}{suffix}.json")
 merged: dict[str, dict] = {}
 if os.path.exists(out):
     with open(out) as f:

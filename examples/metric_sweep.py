@@ -47,10 +47,16 @@ def main() -> None:
                   "kl": np.asarray(kl).tolist(),
                   "w2": np.asarray(w2).tolist()}
     else:
-        clouds = shape_bank(args.num_clouds, args.points, seed=0)
+        # composite (chiral) shapes: the reference sweeps ModelNet10 test
+        # objects, which are asymmetric — symmetric primitives would alias
+        # large rotations back onto themselves and invert the curves
+        clouds = shape_bank(args.num_clouds, args.points, seed=0,
+                            kinds=("composite",))
         if args.mode == "rotation":
-            # reference sweeps the angle limit 90 -> 180 deg in 1-deg steps
-            angles = np.arange(90.0, 180.1, 1.0)
+            # committed reference figure covers 0->90 (WD_vs_CD_graph.ipynb
+            # cell 6/7); the current main_rotation.py code sweeps 90->180.
+            # Cover both regimes in one artifact.
+            angles = np.arange(0.0, 180.1, 1.0)
             res = rotation_sweep(clouds, angles)
         else:
             magnitudes = np.arange(0.0, 1.01, 0.01)

@@ -29,6 +29,11 @@ class DatasetConfig:
     modelnet_root: Optional[str] = None
     cache_dir: str = "modelnet_cache"
     num_synthetic: int = 512
+    # shape classes for the synthetic ModelNet stand-in. 'composite' =
+    # chiral three-lobe objects; registration benchmarks need these, since
+    # the symmetric primitives make ground-truth pose unrecoverable (a box
+    # flipped 180 deg is the same cloud — the loss has two equal minima)
+    synthetic_kinds: tuple = ("box", "ellipsoid", "cylinder", "cone")
     val_split: float = 0.2
     seed: int = 0
 
@@ -42,13 +47,15 @@ class RegistrationDataset:
         self.split = split
         self.sources = load_dataset(cfg.source_point_num, split,
                                     cfg.modelnet_root, cfg.cache_dir,
-                                    cfg.num_synthetic, cfg.seed)
+                                    cfg.num_synthetic, cfg.seed,
+                                    cfg.synthetic_kinds)
         if cfg.target_point_num == cfg.source_point_num:
             self.targets = self.sources
         else:
             self.targets = load_dataset(cfg.target_point_num, split,
                                         cfg.modelnet_root, cfg.cache_dir,
-                                        cfg.num_synthetic, cfg.seed)
+                                        cfg.num_synthetic, cfg.seed,
+                                        cfg.synthetic_kinds)
         assert len(self.sources) == len(self.targets)
 
     def __len__(self):

@@ -102,7 +102,8 @@ def preprocess_modelnet(root: str, out_dir: str, point_num: int,
 def load_dataset(point_num: int, split: str = "train",
                  modelnet_root: Optional[str] = None,
                  cache_dir: str = "modelnet_cache",
-                 num_synthetic: int = 512, seed: int = 0) -> np.ndarray:
+                 num_synthetic: int = 512, seed: int = 0,
+                 synthetic_kinds: Optional[tuple] = None) -> np.ndarray:
     """(M, point_num, 3) clouds: cached ModelNet arrays if available,
     else the procedural genus-0 shape bank (synthetic.py)."""
     cache = Path(cache_dir) / f"modelnet10_{point_num}_{split}.npz"
@@ -113,5 +114,6 @@ def load_dataset(point_num: int, split: str = "train",
         return np.load(path)["clouds"]
     from .synthetic import shape_bank
     n_items = num_synthetic if split == "train" else max(num_synthetic // 4, 8)
+    kw = {} if synthetic_kinds is None else {"kinds": tuple(synthetic_kinds)}
     return shape_bank(n_items, point_num,
-                      seed=seed + (0 if split == "train" else 10_000))
+                      seed=seed + (0 if split == "train" else 10_000), **kw)

@@ -83,16 +83,38 @@ def _sample_cone(rng, n, radius, height):
     return pts
 
 
+def _sample_composite(rng, n):
+    """Chiral three-lobe shape (ellipsoid body + box lobe on +x + cone lobe
+    on +z): no mirror or 180-degree rotational symmetry about any axis.
+    ModelNet objects (chairs, desks) are asymmetric like this; the primitive
+    classes above are not — a 180-degree x-rotation maps a box/ellipsoid
+    onto itself, which would invert the WD-monotonicity evidence the
+    Comparison suite measures (main_rotation.py:191-223)."""
+    n1 = n // 2
+    n2 = (n - n1) // 2
+    n3 = n - n1 - n2
+    body = _sample_ellipsoid(rng, n1, rng.uniform(0.5, 0.9, 3))
+    box = (_sample_box(rng, n2, rng.uniform(0.15, 0.35, 3))
+           + np.array([rng.uniform(0.6, 0.9), 0.0, 0.0], np.float32))
+    cone = (_sample_cone(rng, n3, rng.uniform(0.15, 0.35),
+                         rng.uniform(0.4, 0.8))
+            + np.array([0.0, rng.uniform(0.1, 0.3),
+                        rng.uniform(0.5, 0.9)], np.float32))
+    return np.concatenate([body, box, cone], axis=0).astype(np.float32)
+
+
 _GENERATORS = ("box", "ellipsoid", "cylinder", "cone")
 
 
-def shape_bank(num_items: int, point_num: int, seed: int = 0) -> np.ndarray:
-    """(num_items, point_num, 3) normalized genus-0 shapes, 4 classes with
-    randomized proportions — the ModelNet10 stand-in."""
+def shape_bank(num_items: int, point_num: int, seed: int = 0,
+               kinds: tuple = _GENERATORS) -> np.ndarray:
+    """(num_items, point_num, 3) normalized genus-0 shapes with randomized
+    proportions — the ModelNet10 stand-in. ``kinds`` selects the classes
+    (pass ``("composite",)`` for asymmetric ModelNet-like objects)."""
     rng = np.random.default_rng(seed)
     out = np.empty((num_items, point_num, 3), np.float32)
     for i in range(num_items):
-        kind = _GENERATORS[i % len(_GENERATORS)]
+        kind = kinds[i % len(kinds)]
         if kind == "box":
             pts = _sample_box(rng, point_num, rng.uniform(0.3, 1.0, 3))
         elif kind == "ellipsoid":
@@ -100,8 +122,12 @@ def shape_bank(num_items: int, point_num: int, seed: int = 0) -> np.ndarray:
         elif kind == "cylinder":
             pts = _sample_cylinder(rng, point_num, rng.uniform(0.2, 0.8),
                                    rng.uniform(0.5, 1.5))
-        else:
+        elif kind == "cone":
             pts = _sample_cone(rng, point_num, rng.uniform(0.3, 0.9),
                                rng.uniform(0.5, 1.5))
+        elif kind == "composite":
+            pts = _sample_composite(rng, point_num)
+        else:
+            raise ValueError(f"unknown shape kind {kind!r}")
         out[i] = normalize_scale(pts)
     return out

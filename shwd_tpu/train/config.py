@@ -98,6 +98,8 @@ def _build(cls, raw: dict) -> Any:
                 "shwd": SHWDConfig, "transport": TransportConfig,
             }.get(k)
             kwargs[k] = _build(sub, v) if sub else v
+        elif isinstance(v, list) and isinstance(fields[k].default, tuple):
+            kwargs[k] = tuple(v)   # json round-trips tuples as lists
         else:
             kwargs[k] = v
     return cls(**kwargs)

@@ -1,0 +1,112 @@
+"""ModelNet OFF ingestion: reader, sampler, normalization, offline cache.
+
+Reference pipeline: torch_geometric ``ModelNet(pre_transform=[SamplePoints,
+NormalizeScale])`` (Data_set_maker.py:276-290). Fixtures are tiny in-test
+cube meshes so the real-data code path runs without the dataset.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from shwd_tpu.data.modelnet import (
+    load_dataset, normalize_scale, preprocess_modelnet, read_off,
+    sample_mesh_points,
+)
+
+CUBE_VERTS = [
+    (-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+    (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1),
+]
+CUBE_QUADS = [
+    (0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+    (2, 3, 7, 6), (0, 3, 7, 4), (1, 2, 6, 5),
+]
+
+
+def write_cube_off(path: Path, glued_header: bool = False,
+                   scale: float = 1.0) -> None:
+    lines = []
+    if glued_header:
+        # the common ModelNet quirk: counts glued onto the OFF line
+        lines.append(f"OFF{len(CUBE_VERTS)} {len(CUBE_QUADS)} 0")
+    else:
+        lines.append("OFF")
+        lines.append(f"{len(CUBE_VERTS)} {len(CUBE_QUADS)} 0")
+    for v in CUBE_VERTS:
+        lines.append(" ".join(str(c * scale) for c in v))
+    for q in CUBE_QUADS:
+        lines.append("4 " + " ".join(str(i) for i in q))
+    path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.mark.parametrize("glued", [False, True])
+def test_read_off_cube(tmp_path, glued):
+    p = tmp_path / "cube.off"
+    write_cube_off(p, glued_header=glued)
+    verts, faces = read_off(str(p))
+    assert verts.shape == (8, 3) and verts.dtype == np.float32
+    # 6 quads fan-triangulated -> 12 triangles
+    assert faces.shape == (12, 3) and faces.dtype == np.int32
+    assert faces.min() >= 0 and faces.max() <= 7
+
+
+def test_read_off_rejects_non_off(tmp_path):
+    p = tmp_path / "bad.off"
+    p.write_text("PLY\n0 0 0\n")
+    with pytest.raises(ValueError, match="not an OFF"):
+        read_off(str(p))
+
+
+def test_sample_mesh_points_on_cube_surface(tmp_path):
+    p = tmp_path / "cube.off"
+    write_cube_off(p)
+    verts, faces = read_off(str(p))
+    pts = sample_mesh_points(np.random.default_rng(0), verts, faces, 2000)
+    assert pts.shape == (2000, 3)
+    # every sample lies on the surface: at least one |coord| == 1
+    on_face = np.isclose(np.abs(pts), 1.0, atol=1e-6).any(axis=-1)
+    assert on_face.all()
+    # area-weighted: all six faces get roughly n/6 samples
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            frac = np.isclose(pts[:, axis], sign, atol=1e-6).mean()
+            assert 0.08 < frac < 0.26
+
+
+def test_normalize_scale_unit_cube():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(500, 3)) * 7.0 + 3.0
+    out = normalize_scale(pts)
+    np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-5)
+    assert np.abs(out).max() <= 1.0
+    assert np.abs(out).max() == pytest.approx(0.999999, rel=1e-5)
+
+
+def test_preprocess_and_load_roundtrip(tmp_path):
+    """Mini ModelNet tree (2 classes x 2 meshes) -> offline npz -> the exact
+    arrays the trainer consumes via load_dataset."""
+    root = tmp_path / "ModelNet10"
+    for ci, cls in enumerate(["chair", "desk"]):
+        d = root / cls / "train"
+        d.mkdir(parents=True)
+        for mi in range(2):
+            write_cube_off(d / f"{cls}_{mi:04d}.off", glued_header=(mi == 1),
+                           scale=float(ci + 1))
+    cache = tmp_path / "cache"
+    out = preprocess_modelnet(str(root), str(cache), point_num=64)
+    data = np.load(out)
+    assert data["clouds"].shape == (4, 64, 3)
+    assert list(data["classes"]) == ["chair", "desk"]
+    np.testing.assert_array_equal(data["labels"], [0, 0, 1, 1])
+    # normalization makes the scale-2 desks identical in extent to chairs
+    assert np.abs(data["clouds"]).max() <= 1.0
+
+    clouds = load_dataset(64, "train", modelnet_root=str(root),
+                          cache_dir=str(cache))
+    np.testing.assert_array_equal(clouds, data["clouds"])
+    # second call hits the cache file (delete root to prove it)
+    clouds2 = load_dataset(64, "train", modelnet_root=str(tmp_path / "gone"),
+                           cache_dir=str(cache))
+    np.testing.assert_array_equal(clouds2, clouds)
