@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--modelnet-root", default=None,
                     help="path to ModelNet10 OFF files; synthetic shape bank "
                          "if omitted")
+    ap.add_argument("--num-synthetic", type=int, default=2048)
+    ap.add_argument("--shapes", default="composite",
+                    help="comma-separated synthetic shape classes; default "
+                         "'composite' (asymmetric, pose identifiable — the "
+                         "ModelNet-like choice for registration)")
     ap.add_argument("--load-model", default=None, help="checkpoint to resume")
     args = ap.parse_args()
 
@@ -51,6 +56,8 @@ def main() -> None:
         dataset=DatasetConfig(
             source_point_num=args.points, target_point_num=args.points,
             modelnet_root=args.modelnet_root,
+            num_synthetic=args.num_synthetic,
+            synthetic_kinds=tuple(args.shapes.split(",")),
             transform=TransformConfig(noise_sigma=args.noise,
                                       angle_range_deg=args.angle_range)),
     )
