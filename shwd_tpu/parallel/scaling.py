@@ -31,6 +31,12 @@ class ScalingPoint:
     clouds_per_second: float
     step_seconds: float
     efficiency: float
+    # clouds/s at D devices over clouds/s at 1. On real chips this is the
+    # weak-scaling speedup (ideal = D). On a virtual CPU mesh with fewer
+    # physical cores than devices the devices serialize, so the ideal is
+    # 1.0 — any value well below 1.0 would mean the sharded step added
+    # communication/recompute overhead beyond the raw work.
+    throughput_ratio: float = 1.0
 
 
 def _wcos_step_builder(mesh, per_device_batch: int, n_points: int,
@@ -106,11 +112,11 @@ def measure_scaling(device_counts: Optional[Sequence[int]] = None,
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * d / device_counts[0])
-        points.append(ScalingPoint(d, rate, dt, eff))
+        points.append(ScalingPoint(d, rate, dt, eff, rate / base_rate))
         if verbose:
             print(f"devices={d:3d}  batch={total_batch:4d}  "
                   f"{rate:10.1f} clouds/s  step={dt*1e3:7.2f} ms  "
-                  f"efficiency={eff:.2%}")
+                  f"efficiency={eff:.2%}  throughput x{rate/base_rate:.2f}")
     return points
 
 

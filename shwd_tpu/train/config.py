@@ -65,8 +65,17 @@ class TrainConfig:
     # NaN forensics: on a non-finite train loss, dump the offending batch +
     # full train state to <log_dir>/<experiment>/nan_dump/ and raise
     # (reference nan_check semantics,
-    # max_spherical_w_cos_with_regulation.py:133-142, 529-553)
+    # max_spherical_w_cos_with_regulation.py:133-142, 529-553).
+    # Forces the per-step (unfused) epoch path so the offending batch is
+    # identifiable.
     nan_guard: bool = False
+
+    # Fuse the whole training epoch into ONE jitted lax.scan over batches
+    # (cloud banks stay on device; per-batch transform keys fed to the scan).
+    # Numerically identical to the per-step path — same keys, same update
+    # order — but one host->device dispatch per epoch instead of one per
+    # batch, which dominates wall time for small models over a TPU tunnel.
+    fused_epoch: bool = True
 
     # parallel
     mesh_data: Optional[int] = None      # None = all devices on data axis

@@ -111,6 +111,7 @@ class Trainer:
                                     and cfg.shwd.early_stop_strikes > 0)
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._eval)
+        self._fused_epoch = jax.jit(self._epoch_scan)
 
     # -- jitted bodies -----------------------------------------------------
 
@@ -144,6 +145,24 @@ class Trainer:
                                       out.est_t[:, 0, :])
         return loss, jnp.mean(rot_err), jnp.mean(trans_err)
 
+    def _epoch_scan(self, state: TrainState, bank_src, bank_tgt,
+                    idx_mat, keys):
+        """One jitted training epoch: lax.scan over (n_batches, B) index
+        rows; clouds gathered from the on-device banks, transforms drawn
+        per batch from ``keys`` — the exact computation of the per-step
+        path in one dispatch."""
+        from ..data.transforms import make_registration_batch
+
+        def body(carry, xs):
+            idx, key = xs
+            batch = make_registration_batch(
+                key, bank_tgt[idx], bank_src[idx], self.cfg.dataset.transform)
+            new_carry, loss = self._step(carry, batch, train=True)
+            return new_carry, loss
+
+        state, losses = jax.lax.scan(body, state, (idx_mat, keys))
+        return state, jnp.mean(losses)
+
     # -- epoch drivers -----------------------------------------------------
 
     def init_state(self, key: jax.Array) -> TrainState:
@@ -153,6 +172,9 @@ class Trainer:
                           self.crit_init(k_crit), jnp.zeros((), jnp.int32))
 
     def train_one_epoch(self, state, dataset, indices, key, rng):
+        if self.cfg.fused_epoch and not self.cfg.nan_guard:
+            return self._train_one_epoch_fused(state, dataset, indices,
+                                               key, rng)
         total, count = 0.0, 0
         for batch in dataset.batches(key, indices, self.cfg.batch_size,
                                      shuffle=True, rng=rng):
@@ -164,6 +186,25 @@ class Trainer:
             total += loss
             count += 1
         return state, total / max(count, 1)
+
+    def _train_one_epoch_fused(self, state, dataset, indices, key, rng):
+        """Same shuffle/key discipline as ``dataset.batches`` (shuffled rows,
+        dropped remainder, one split key per batch) — one dispatch total."""
+        bs = self.cfg.batch_size
+        idx = np.array(indices)
+        (rng or np.random.default_rng()).shuffle(idx)
+        n_batches = len(idx) // bs
+        if n_batches == 0:
+            return state, 0.0
+        idx_mat = jnp.asarray(idx[:n_batches * bs].reshape(n_batches, bs))
+        keys = jax.random.split(key, n_batches)
+        if not hasattr(dataset, "_device_banks"):
+            dataset._device_banks = (jnp.asarray(dataset.sources),
+                                     jnp.asarray(dataset.targets))
+        bank_src, bank_tgt = dataset._device_banks
+        state, mean_loss = self._fused_epoch(state, bank_src, bank_tgt,
+                                             idx_mat, keys)
+        return state, float(mean_loss)
 
     def _dump_nan_forensics(self, state, batch, loss):
         """Reference nan_check semantics

@@ -114,6 +114,29 @@ def test_nan_guard_dumps_and_raises(tmp_path, monkeypatch):
     assert (dump / "state_pre_step.npz").exists()
 
 
+@pytest.mark.parametrize("criterion", ["cd", "w_cos"])
+def test_fused_epoch_matches_per_step(tmp_path, criterion):
+    """fused_epoch=True (one lax.scan dispatch per epoch) must reproduce the
+    per-step path: same shuffle, same keys, same update order."""
+    cfg_f = tiny_config(tmp_path, criterion)
+    cfg_u = dataclasses.replace(cfg_f, fused_epoch=False,
+                                experiment="t_unfused")
+    losses = {}
+    for tag, cfg in (("fused", cfg_f), ("unfused", cfg_u)):
+        tr = Trainer(cfg)
+        ds = RegistrationDataset(cfg.dataset, "train")
+        state = tr.init_state(jax.random.PRNGKey(7))
+        rng = np.random.default_rng(3)
+        idx = np.arange(12)
+        state, l1 = tr.train_one_epoch(state, ds, idx,
+                                       jax.random.PRNGKey(11), rng)
+        _, l2 = tr.train_one_epoch(state, ds, idx,
+                                   jax.random.PRNGKey(12), rng)
+        losses[tag] = (l1, l2)
+    np.testing.assert_allclose(losses["fused"], losses["unfused"],
+                               rtol=2e-4)
+
+
 def test_config_roundtrip(tmp_path):
     cfg = tiny_config(tmp_path, "w_cos")
     cfg.save(tmp_path / "c.json")
