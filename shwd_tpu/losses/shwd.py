@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import optax
 
 from ..flows.base import FlowChain
-from .transport import TransportConfig, make_transport
+from .transport import (TransportConfig, make_stateful_transport,
+                        make_transport)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +60,8 @@ class SHWDState(NamedTuple):
     lam: jax.Array
     strikes: jax.Array        # early-stop counter
     key: jax.Array            # for refresh / ssw projections
+    t_state: Any = ()         # transport solver carry (solver='hybrid_warm':
+                              # the auction dual prices, see ops/auction.py)
 
 
 def sphere_regularizer(x: jax.Array) -> jax.Array:
@@ -80,15 +83,31 @@ class SHWDLoss:
         self.flow = flow
         self.cfg = cfg
         self.transport = make_transport(cfg.transport)
+        self._t_init, self._t_apply = make_stateful_transport(cfg.transport)
+        self._warm = cfg.transport.solver == "hybrid_warm"
         # coupled-L2 Adam, matching torch.optim.Adam(weight_decay=...) —
         # the reference's phi_op (train_W_COS.py:392, flow notebooks cell 6)
         from ..utils.optim import torch_adam
         self.opt = torch_adam(cfg.phi_lr, cfg.phi_weight_decay,
                               b1=cfg.phi_b1, b2=cfg.phi_b2)
 
-    def init(self, key: jax.Array) -> SHWDState:
+    def init(self, key: jax.Array, x: Optional[jax.Array] = None,
+             y: Optional[jax.Array] = None) -> SHWDState:
+        """``x``/``y`` (example clouds) are required for solver='hybrid_warm':
+        they seed the carried dual prices with one annealed-Sinkhorn run
+        (paid here, never in the step loop)."""
         k_flow, k_carry = jax.random.split(key)
         params, fstate = self.flow.init(k_flow)
+        t_state = ()
+        if self._warm:
+            if x is None or y is None:
+                raise ValueError(
+                    "solver='hybrid_warm' needs example clouds at init: "
+                    "SHWDLoss.init(key, x, y)")
+            sx, sy = self._flow_pair(params, fstate,
+                                     x if x.ndim == 3 else x[None],
+                                     y if y.ndim == 3 else y[None])
+            t_state = self._t_init(sx, sy)
         return SHWDState(
             phi_params=params,
             phi_state=fstate,
@@ -96,6 +115,7 @@ class SHWDLoss:
             lam=jnp.asarray(self.cfg.lam, jnp.float32),
             strikes=jnp.zeros((), jnp.int32),
             key=k_carry,
+            t_state=t_state,
         )
 
     # -- internals ---------------------------------------------------------
@@ -108,12 +128,12 @@ class SHWDLoss:
         s = self.flow(params, fstate, jnp.concatenate([x, y], axis=-2))
         return s[..., :n, :], s[..., n:, :]
 
-    def _inner_objective(self, params, fstate, x, y, lam, key):
+    def _inner_objective(self, params, fstate, x, y, lam, key, t_state):
         """phi's ascent objective: lam * reg - W (minimized => W maximized)."""
         sx, sy = self._flow_pair(params, fstate, x, y)
-        w = self.transport(sx, sy, key)
+        w, t_state = self._t_apply(t_state, sx, sy, key)
         reg = lam * (sphere_regularizer(sx) + sphere_regularizer(sy))
-        return reg - w
+        return reg - w, t_state
 
     def _inner_scan(self, state: SHWDState, x, y):
         """max_iter adversarial steps on detached clouds via lax.scan."""
@@ -122,18 +142,19 @@ class SHWDLoss:
         cfg = self.cfg
 
         def step(carry, key):
-            params, fstate, opt_state = carry
-            grads = jax.grad(self._inner_objective)(
-                params, fstate, xd, yd, state.lam, key)
+            params, fstate, opt_state, t_state = carry
+            grads, t_state = jax.grad(self._inner_objective, has_aux=True)(
+                params, fstate, xd, yd, state.lam, key, t_state)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if cfg.power_iter_per_step > 0:
                 fstate = self.flow.update_state(params, fstate,
                                                 cfg.power_iter_per_step)
-            return (params, fstate, opt_state), None
+            return (params, fstate, opt_state, t_state), None
 
         keys = jax.random.split(state.key, cfg.max_iter + 1)
-        carry = (state.phi_params, state.phi_state, state.opt_state)
+        carry = (state.phi_params, state.phi_state, state.opt_state,
+                 state.t_state)
         carry, _ = jax.lax.scan(step, carry, keys[:-1])
         return carry, keys[-1]
 
@@ -167,21 +188,22 @@ class SHWDLoss:
                 def _skip(_):
                     keys = jax.random.split(state.key, cfg.max_iter + 1)
                     return ((state.phi_params, state.phi_state,
-                             state.opt_state), keys[-1])
+                             state.opt_state, state.t_state), keys[-1])
 
                 go = state.strikes <= cfg.early_stop_strikes
-                (params, fstate, opt_state), key = jax.lax.cond(
+                (params, fstate, opt_state, t_state), key = jax.lax.cond(
                     go, _run, _skip, None)
             else:
-                (params, fstate, opt_state), key = self._inner_scan(state, x, y)
+                ((params, fstate, opt_state, t_state),
+                 key) = self._inner_scan(state, x, y)
             lam = state.lam * cfg.lam_decay
             state = SHWDState(params, fstate, opt_state, lam,
-                              state.strikes, key)
+                              state.strikes, key, t_state)
         # final (undetached) forward — gradient path to x and y
         k_final, k_next = jax.random.split(state.key)
         sx, sy = self._flow_pair(state.phi_params, state.phi_state, x, y)
-        w = self.transport(sx, sy, k_final)
-        state = state._replace(key=k_next)
+        w, t_state = self._t_apply(state.t_state, sx, sy, k_final)
+        state = state._replace(key=k_next, t_state=t_state)
         return (w, sx, sy), state
 
     def add_strike(self, state: SHWDState) -> SHWDState:

@@ -97,11 +97,13 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
                        eps0: jax.Array | float | None = None):
     """Solve min_perm mean_i C[i, perm(i)] for a batch of square costs.
 
-    cost: (B, N, N). Returns (assignment (B, N) int32, total sweeps used).
-    eps-scaling: eps starts at ~max|C|/8 and divides by ``scale_factor``
-    until <= eps_final. ``prices0``/``eps0`` warm-start the dual prices —
-    e.g. from annealed-Sinkhorn potentials (see ``hybrid_emd2``), which
-    skips the expensive large-eps price-discovery phases entirely.
+    cost: (B, N, N). Returns (assignment (B, N) int32, final dual prices
+    (B, N), total sweeps used). eps-scaling: eps starts at ~max|C|/8 and
+    divides by ``scale_factor`` until <= eps_final. ``prices0``/``eps0``
+    warm-start the dual prices — e.g. from annealed-Sinkhorn potentials
+    (see ``hybrid_emd2``) or the previous optimum of a slowly-moving
+    problem (see ``warm_emd2``), which skips the expensive large-eps
+    price-discovery phases entirely.
     """
     b, n, m = cost.shape
     assert n == m, "auction solves the equal-size assignment case"
@@ -128,7 +130,7 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
         cond, phase,
         (jnp.zeros((), bool), jnp.asarray(eps0, cost.dtype), prices0,
          assign0, jnp.zeros((), jnp.int32)))
-    return assign, total
+    return assign, prices, total
 
 
 def _assignment_cost(cost, assign):
@@ -156,9 +158,9 @@ def _hybrid_assignment(cost, eps_final, sink_eps=1e-5, sink_iters=100,
     c_range = jax.lax.stop_gradient(
         jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12))
     eps0 = jnp.maximum(c_range * 1e-4, eps_final * 10.0).astype(cost.dtype)
-    assign, sweeps = auction_assignment(jax.lax.stop_gradient(cost),
-                                        eps_final, max_sweeps=max_sweeps,
-                                        prices0=prices0, eps0=eps0)
+    assign, _, sweeps = auction_assignment(jax.lax.stop_gradient(cost),
+                                           eps_final, max_sweeps=max_sweeps,
+                                           prices0=prices0, eps0=eps0)
     # sweep-cap safety: any person still unassigned falls back to its row
     # argmin (never triggers with warm-started prices in practice; avoids
     # out-of-range gathers if it ever does)
@@ -191,12 +193,12 @@ def auction_emd2(cost: jax.Array, eps_final: float = 1e-6) -> jax.Array:
     Differentiable wrt cost: VJP = the optimal permutation plan / N —
     the same envelope gradient the reference extracts from ``ot.emd2``.
     """
-    assign, _ = auction_assignment(cost, eps_final)
+    assign, _, _ = auction_assignment(cost, eps_final)
     return _assignment_cost(cost, assign)
 
 
 def _emd2_fwd(cost, eps_final):
-    assign, _ = auction_assignment(cost, eps_final)
+    assign, _, _ = auction_assignment(cost, eps_final)
     return _assignment_cost(cost, assign), (assign, cost.shape[-1])
 
 
@@ -207,3 +209,67 @@ def _emd2_bwd(eps_final, res, g):
 
 
 auction_emd2.defvjp(_emd2_fwd, _emd2_bwd)
+
+
+# -- persistent-dual exact EMD (the iterative-driver fast path) --------------
+
+def init_warm_prices(cost: jax.Array, sink_eps: float = 1e-5,
+                     sink_iters: int = 100, sink_scales: int = 8) -> jax.Array:
+    """Dual prices for ``warm_emd2``'s first call: one annealed-Sinkhorn run
+    on the initial cost. Paid once, outside the step loop."""
+    from .sinkhorn import emd2_approx
+    _, _, g = emd2_approx(cost, eps=sink_eps, num_iters=sink_iters,
+                          num_scales=sink_scales, return_potentials=True)
+    return jax.lax.stop_gradient(-g)
+
+
+def _warm_assignment(cost, prices, eps_final, max_sweeps=4000):
+    c_sg = jax.lax.stop_gradient(cost)
+    c_range = jnp.maximum(jnp.max(c_sg) - jnp.min(c_sg), 1e-12)
+    eps0 = jnp.maximum(c_range * 1e-4, eps_final * 10.0).astype(cost.dtype)
+    assign, new_prices, sweeps = auction_assignment(
+        c_sg, eps_final, max_sweeps=max_sweeps, prices0=prices, eps0=eps0)
+    assign = jnp.where(assign < 0,
+                       jnp.argmin(c_sg, axis=-1).astype(jnp.int32), assign)
+    # recenter per problem: auction is shift-invariant in the prices, and
+    # recentering stops the monotone per-call price growth from accumulating
+    # over thousands of carried steps
+    new_prices = new_prices - jnp.mean(new_prices, axis=-1, keepdims=True)
+    return assign, new_prices
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warm_emd2(cost: jax.Array, prices: jax.Array, eps_final: float = 1e-7):
+    """Exact EMD for (B, N, N) uniform problems with carried dual prices.
+
+    For iterative drivers (Wasserstein flows, adversarial phi updates) the
+    clouds move a little per step, so last step's optimal auction prices are
+    eps-complementary-slack for this step's cost up to the movement — the
+    auction only repairs the difference instead of rediscovering the price
+    landscape. This removes ``hybrid_emd2``'s per-call annealed-Sinkhorn
+    stage (the HBM-bound ~800-iteration logsumexp loop) from the hot path
+    entirely; seed the chain once with ``init_warm_prices``.
+
+    Returns (value (B,), new_prices (B, N)). Differentiable wrt cost
+    (VJP = permutation plan / N, reference ot.emd2 semantics); new_prices
+    carries no gradient.
+    """
+    assign, new_prices = _warm_assignment(cost, prices, eps_final)
+    return _assignment_cost(cost, assign), new_prices
+
+
+def _warm_fwd(cost, prices, eps_final):
+    assign, new_prices = _warm_assignment(cost, prices, eps_final)
+    return ((_assignment_cost(cost, assign), new_prices),
+            (assign, cost.shape[-1]))
+
+
+def _warm_bwd(eps_final, res, g):
+    assign, n = res
+    g_val, _ = g            # new_prices output is non-differentiable state
+    plan = jax.nn.one_hot(assign, n, dtype=g_val.dtype) / n
+    return (g_val[:, None, None] * plan, jnp.zeros((assign.shape[0], n),
+                                                   g_val.dtype))
+
+
+warm_emd2.defvjp(_warm_fwd, _warm_bwd)

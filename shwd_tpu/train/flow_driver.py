@@ -84,8 +84,9 @@ def _make_loss_step(cfg: FlowConfig):
             max_iter=cfg.shwd_max_iter, lam=cfg.shwd_lam,
             phi_lr=cfg.shwd_phi_lr, phi_weight_decay=cfg.shwd_phi_wd))
 
-        def init_state(key):
-            return {"opt": opt.init(jnp.zeros((1, 3))), "crit": crit.init(key)}
+        def init_state(key, source=None, target=None):
+            return {"opt": opt.init(jnp.zeros((1, 3))),
+                    "crit": crit.init(key, source, target)}
 
         def step(points, target, state, key):
             def loss_fn(pts):
@@ -160,7 +161,7 @@ def _make_loss_step(cfg: FlowConfig):
     if cfg.method in stateful:
         phi_init, phi_loss = stateful[cfg.method]
 
-        def init_state(key):
+        def init_state(key, source=None, target=None):
             return {"opt": opt.init(jnp.zeros((1, 3))), "phi": phi_init(key)}
 
         def step(points, target, state, key):
@@ -175,7 +176,7 @@ def _make_loss_step(cfg: FlowConfig):
 
         return init_state, step
 
-    def init_state(key):
+    def init_state(key, source=None, target=None):
         return {"opt": opt.init(jnp.zeros((1, 3)))}
 
     def step(points, target, state, key):
@@ -206,7 +207,7 @@ def run_flow(source: jax.Array, target: jax.Array, cfg: FlowConfig,
     init_state, step = _make_loss_step(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     k_init, key = jax.random.split(key)
-    state = init_state(k_init)
+    state = init_state(k_init, jnp.asarray(source), jnp.asarray(target))
     # re-init opt state with real shapes
     state["opt"] = optax.adam(cfg.lr).init(source)
 
