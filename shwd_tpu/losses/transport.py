@@ -112,9 +112,11 @@ def make_transport(cfg: TransportConfig) -> Callable:
         elif cfg.solver in ("hybrid", "hybrid_warm"):
             # on-device exact: annealed-Sinkhorn duals + warm-started
             # auction — the flagship's exact-EMD path on TPU (the
-            # stateless fallback for 'hybrid_warm')
+            # stateless fallback for 'hybrid_warm'); the cfg Sinkhorn
+            # schedule controls the dual warm-up depth
             from ..ops.auction import hybrid_emd2
-            val = hybrid_emd2(c, 1e-7)
+            val = hybrid_emd2(c, 1e-7, cfg.eps, cfg.num_iters,
+                              cfg.num_scales)
         else:
             raise ValueError(f"unknown solver {cfg.solver!r}")
         if not batched:
@@ -137,7 +139,7 @@ def make_stateful_transport(cfg: TransportConfig):
     stateless (tstate = (), same values as ``make_transport``).
     """
     if cfg.solver == "hybrid_warm":
-        from ..ops.auction import init_warm_prices, warm_emd2
+        from ..ops.auction import init_warm_state, warm_emd2
 
         def reduce(v):
             if cfg.reduce == "mean":
@@ -149,7 +151,7 @@ def make_stateful_transport(cfg: TransportConfig):
         def t_init(x, y):
             xb = x if x.ndim == 3 else x[None]
             yb = y if y.ndim == 3 else y[None]
-            return init_warm_prices(build_cost(xb, yb, cfg.cost, cfg.p))
+            return init_warm_state(build_cost(xb, yb, cfg.cost, cfg.p))
 
         def w(tstate, x, y, key=None):
             batched = x.ndim == 3

@@ -28,12 +28,16 @@ def _logsumexp(x, axis):
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
 def sinkhorn_log(cost: jax.Array, eps: float = 0.01, num_iters: int = 100,
-                 a: jax.Array | None = None, b: jax.Array | None = None):
+                 a: jax.Array | None = None, b: jax.Array | None = None,
+                 f0: jax.Array | None = None, g0: jax.Array | None = None):
     """Entropic OT in the log domain, batched over leading dims of cost.
 
     cost: (..., N, M). a, b: optional (..., N)/(..., M) marginals (uniform by
-    default). Returns (transport_cost, f, g): <P, C> with P the entropic plan,
-    plus the dual potentials.
+    default). ``f0``/``g0`` warm-start the dual potentials (e.g. carried from
+    the previous call of an iterative driver — convergence from a nearby
+    dual point takes a few dozen iterations where a cold small-eps start
+    needs a full anneal). Returns (transport_cost, f, g): <P, C> with P the
+    entropic plan, plus the dual potentials.
 
     Fixed iteration count (jit-friendly), matching the reference's
     Sinkhorn loops (``Sinkhorn_fixed.py:40-55``).
@@ -48,8 +52,8 @@ def sinkhorn_log(cost: jax.Array, eps: float = 0.01, num_iters: int = 100,
     log_a = jnp.log(a)
     log_b = jnp.log(b)
 
-    f = jnp.zeros_like(a)
-    g = jnp.zeros_like(b)
+    f = jnp.zeros_like(a) if f0 is None else f0
+    g = jnp.zeros_like(b) if g0 is None else g0
 
     def body(i, fg):
         f, g = fg

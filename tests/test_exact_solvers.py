@@ -94,41 +94,42 @@ def test_deep_annealed_sinkhorn_reaches_exact():
 
 
 def test_warm_emd2_matches_exact_across_carried_steps():
-    """The persistent-dual solver (warm_emd2) must stay exact while the
+    """The persistent-state solver (warm_emd2) must stay exact while the
     problem drifts — the property the SHWD hot loop relies on to skip the
     per-call Sinkhorn anneal."""
-    from shwd_tpu.ops.auction import init_warm_prices, warm_emd2
+    from shwd_tpu.ops.auction import init_warm_state, warm_emd2
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
     c = cost_matrix(x, y, "lp", 2.0)
-    prices = init_warm_prices(c)
-    v, prices = warm_emd2(c, prices, 1e-7)
+    state = init_warm_state(c)
+    v, state = warm_emd2(c, state, 1e-7)
     np.testing.assert_allclose(np.asarray(v), _exact(c), rtol=1e-4)
     for i in range(3):
         x = x + 0.02 * jnp.asarray(
             rng.normal(size=x.shape).astype(np.float32))
         c = cost_matrix(x, y, "lp", 2.0)
-        v, prices = warm_emd2(c, prices, 1e-7)
+        v, state = warm_emd2(c, state, 1e-7)
         np.testing.assert_allclose(np.asarray(v), _exact(c), rtol=1e-4)
     # prices stay recentered (no unbounded drift across carried calls)
-    np.testing.assert_allclose(np.asarray(prices).mean(-1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state[1]).mean(-1), 0.0, atol=1e-5)
 
 
-def test_warm_emd2_gradient_is_plan_and_prices_detached():
-    from shwd_tpu.ops.auction import init_warm_prices, warm_emd2
+def test_warm_emd2_gradient_is_plan_and_state_detached():
+    from shwd_tpu.ops.auction import init_warm_state, warm_emd2
 
     _, _, c = _rand_costs(32, b=2, seed=11)
-    prices = init_warm_prices(c)
+    state = init_warm_state(c)
     g = np.asarray(jax.grad(
-        lambda cc: jnp.sum(warm_emd2(cc, prices, 1e-7)[0]))(c))
+        lambda cc: jnp.sum(warm_emd2(cc, state, 1e-7)[0]))(c))
     n = c.shape[-1]
     np.testing.assert_allclose(g.sum(-1), 1.0 / n, rtol=1e-6)
     np.testing.assert_allclose((g * np.asarray(c)).sum((-2, -1)),
                                _exact(c), rtol=1e-4)
     # no gradient flows into the carried prices
-    gp = jax.grad(lambda p: jnp.sum(warm_emd2(c, p, 1e-7)[0]))(prices)
+    gp = jax.grad(lambda p: jnp.sum(warm_emd2(c, (state[0], p), 1e-7)[0]))(
+        state[1])
     np.testing.assert_allclose(np.asarray(gp), 0.0)
 
 

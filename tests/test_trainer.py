@@ -174,6 +174,30 @@ def test_flow_driver_method_zoo_runs_and_descends(method):
     assert res.eval_values[-1] <= res.eval_values[0] * 1.05
 
 
+def test_flow_driver_lr_decay_schedule():
+    """lr_decay_alpha < 1 must actually shrink late-run point updates
+    (cosine decay wired through both opt constructions in run_flow)."""
+    from shwd_tpu.train.flow_driver import _make_point_opt
+
+    cfg = FlowConfig(num_iterations=100, lr=0.01, lr_decay_alpha=0.1)
+    opt = _make_point_opt(cfg)
+    p = jnp.ones((4, 3))
+    g = jnp.full((4, 3), 0.5)
+    st = opt.init(p)
+    up0, st = opt.update(g, st)           # count 0: full lr
+    for _ in range(99):
+        up, st = opt.update(g, st)        # count 99: decayed to ~alpha*lr
+    ratio = float(jnp.abs(up).mean() / jnp.abs(up0).mean())
+    assert 0.05 < ratio < 0.2             # ~alpha, not 1.0
+
+    const = _make_point_opt(FlowConfig(num_iterations=100, lr=0.01))
+    stc = const.init(p)
+    upc0, stc = const.update(g, stc)
+    for _ in range(99):
+        upc, stc = const.update(g, stc)
+    assert float(jnp.abs(upc).mean() / jnp.abs(upc0).mean()) > 0.9
+
+
 def test_flow_driver_shwd_decreases():
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
