@@ -51,6 +51,10 @@ def run(setting: dict, epochs: int, num_synthetic: int) -> dict:
         num_epochs=epochs,
         batch_size=128,
         pcr_iteration_num=3,
+        # nan_guard forces the per-step (non-fused) epoch path
+        # (train/trainer.py: fused_epoch and not nan_guard) — kept on here
+        # because perturbed inputs are exactly where non-finite losses
+        # would surface, and the robustness run is short.
         nan_guard=True,
     )
     tr = Trainer(cfg)
