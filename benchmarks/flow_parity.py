@@ -72,6 +72,17 @@ methods = [
     ("CD", dict(method="CD")),
     ("MSWD", dict(method="MSWD")),
     ("W2-direct", dict(method="W2")),
+    # the rest of the notebook zoo (Flow_cube.ipynb cell 5): distributional,
+    # generalized (polynomial/circular, plain + adversarial-max) and
+    # neural-defining-function sliced distances
+    ("DSWD", dict(method="DSWD")),
+    ("GSWD_POLY", dict(method="GSWD_POLY")),
+    ("GSWD_POLY3", dict(method="GSWD_POLY3")),
+    ("MGSWD_POLY", dict(method="MGSWD_POLY")),
+    ("GSWD_CIRC", dict(method="GSWD_CIRC")),
+    ("MGSWD_CIRC", dict(method="MGSWD_CIRC")),
+    ("GSW_NN", dict(method="GSW_NN")),
+    ("MGSW_NN", dict(method="MGSW_NN")),
 ]
 
 metric_key = "final_w2" if eval_metric == "w2" else "final_cd"
@@ -95,7 +106,10 @@ for name, overrides in methods:
                float(np.min(res.eval_values)),
            "sec_per_iter": float(np.mean(res.interval_seconds))
            / cfg.eval_interval,
-           "total_s": time.time() - t0}
+           "total_s": time.time() - t0,
+           # full convergence curve for the cell-11 log-plot figure
+           "eval_iters": res.eval_iters.tolist(),
+           "eval_curve": [float(v) for v in res.eval_values]}
     if name.startswith("SHWD") and shwd_extra:
         row.update(shwd_extra)
     rows.append(row)

@@ -86,6 +86,15 @@ def main():
     if os.path.exists(out):
         with open(out) as f:
             rows = {r["setting"]: r for r in json.load(f)}
+        # the artifact reads as ONE uniform sweep: refuse to silently mix
+        # rows produced under a different training budget
+        for r in rows.values():
+            if (r["epochs"], r["num_synthetic"]) != (epochs, num_synthetic):
+                raise SystemExit(
+                    f"existing row {r['setting']!r} was produced with "
+                    f"epochs={r['epochs']}, num_synthetic={r['num_synthetic']}"
+                    f" but this run uses {epochs}/{num_synthetic}; delete "
+                    f"{out} or rerun with the matching budget")
     for setting in SETTINGS:
         r = run(setting, epochs, num_synthetic)
         print(json.dumps(r), flush=True)

@@ -22,6 +22,10 @@ from shwd_tpu.train.flow_driver import FlowConfig, run_flow
 
 iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 
+# reference CPU timing for the SHWD cube flow, measured once and recorded in
+# BENCH_r02.json / BASELINE.md ("reference_seconds_per_iter": 0.687)
+REF_SEC_PER_ITER_BENCH_R02 = 0.687
+
 key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)
 source = sample_cube_surface(k1, 1200)
@@ -41,7 +45,7 @@ for solver in ("hybrid", "hybrid_warm"):
         "steps_per_second": res.steps_per_second,
         "final_w2": float(res.eval_values[-1]),
         "best_w2": float(np.min(res.eval_values)),
-        "vs_reference": 0.687 / sec,
+        "vs_reference": REF_SEC_PER_ITER_BENCH_R02 / sec,
     }
     rows.append(row)
     print(json.dumps(row))

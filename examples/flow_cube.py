@@ -10,10 +10,14 @@ convergence curve the notebook plots in cell 11.
 """
 
 import argparse
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# package import: works installed (`pip install -e . --no-build-isolation`)
+# or straight from a repo checkout
+try:
+    import shwd_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import json
 

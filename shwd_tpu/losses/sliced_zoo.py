@@ -53,23 +53,27 @@ def sliced_wasserstein_distance(key, x, y, num_projections: int = 100,
 
 def adversarial_maximize(objective: Callable, params, max_iter: int = 10,
                          lr: float = 0.005, betas=(0.999, 0.999),
-                         project: Callable | None = None):
+                         project: Callable | None = None, xs=None):
     """Run ``max_iter`` Adam ascent steps on ``objective(params)`` (maximized),
     optionally re-projecting params after each step (e.g. renormalization).
-    Returns final params. Fully jittable (lax.scan)."""
+    When ``xs`` is given (an array scanned over its leading axis, e.g.
+    per-step PRNG keys for objectives that redraw randomness every inner
+    step), the objective is called as ``objective(params, x)`` and its length
+    overrides ``max_iter``. Returns final params. Fully jittable (lax.scan)."""
     opt = optax.adam(lr, b1=betas[0], b2=betas[1])
 
-    def step(carry, _):
+    def step(carry, x):
         params, opt_state = carry
-        grads = jax.grad(lambda q: -objective(q))(params)
+        obj = objective if xs is None else functools.partial(objective, x=x)
+        grads = jax.grad(lambda q: -obj(q))(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         if project is not None:
             params = project(params)
         return (params, opt_state), None
 
-    (params, _), _ = jax.lax.scan(step, (params, opt.init(params)), None,
-                                  length=max_iter)
+    (params, _), _ = jax.lax.scan(step, (params, opt.init(params)), xs,
+                                  length=max_iter if xs is None else None)
     return params
 
 
@@ -257,27 +261,21 @@ def distributional_sliced_wasserstein_distance(key, x, y, net_params,
     xd, yd = jax.lax.stop_gradient(x), jax.lax.stop_gradient(y)
     dim = x.shape[-1]
 
-    # the notebook redraws base directions every inner step
-    def make_obj(k):
-        def obj(params):
-            pro = rand_projections(k, dim, num_projections)
-            proj = _transform_net_apply(params, pro)
-            cosd = jnp.mean(jnp.abs(
-                proj @ proj.T / jnp.clip(
-                    jnp.linalg.norm(proj, axis=1, keepdims=True)
-                    * jnp.linalg.norm(proj, axis=1, keepdims=True).T, 1e-8)))
-            w = _projected_w(xd @ proj.T, yd @ proj.T, p)
-            return w - lam * cosd
-        return obj
+    # the notebook redraws base directions every inner step -> per-step keys
+    # scanned through the shared helper
+    def obj(params, x):
+        pro = rand_projections(x, dim, num_projections)
+        proj = _transform_net_apply(params, pro)
+        cosd = jnp.mean(jnp.abs(
+            proj @ proj.T / jnp.clip(
+                jnp.linalg.norm(proj, axis=1, keepdims=True)
+                * jnp.linalg.norm(proj, axis=1, keepdims=True).T, 1e-8)))
+        w = _projected_w(xd @ proj.T, yd @ proj.T, p)
+        return w - lam * cosd
 
-    opt = optax.adam(lr, b1=0.5, b2=0.999)
-    opt_state = opt.init(net_params)
-    params = net_params
-    for i in range(max_iter):          # static small loop; redrawn key each step
-        grads = jax.grad(lambda q: -make_obj(keys[i])(q))(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-    params = jax.lax.stop_gradient(params)
+    params = jax.lax.stop_gradient(
+        adversarial_maximize(obj, net_params, lr=lr, betas=(0.5, 0.999),
+                             xs=keys[:max_iter]))
     pro = rand_projections(keys[-1], dim, num_projections)
     proj = _transform_net_apply(params, pro)
     return _projected_w(x @ proj.T, y @ proj.T, p), params

@@ -17,6 +17,7 @@ from typing import Any, Optional
 from ..data.dataset import DatasetConfig
 from ..data.transforms import TransformConfig
 from ..losses.shwd import SHWDConfig
+from ..losses.ssw_loss import MaxSSWConfig
 from ..losses.transport import TransportConfig
 
 
@@ -55,6 +56,15 @@ class TrainConfig:
     pseudo_phi_num: int = 2
     pseudo_combine: str = "max"
 
+    # max_ssw criterion: its own inner-ascent knobs (the chart phi needs a
+    # far larger lr / more steps than the SHWD residual flow —
+    # max_spherical_sliced_w.py:498-536 defaults) and chart choice:
+    # 'mlp' = transform_to_sphere MLP (:334-350), 'encoder_flow' = the
+    # mini-batch residual MSSW encoder+2-D-flow chart
+    # (mini_batch_Residual_MSSW.py:392-409).
+    max_ssw: MaxSSWConfig = MaxSSWConfig()
+    max_ssw_chart: str = "mlp"
+
     # sinkhorn baseline knobs (--sinkhorn_eps / --sinkhorn_iter)
     sinkhorn_eps: float = 0.01
     sinkhorn_iter: int = 100
@@ -77,8 +87,11 @@ class TrainConfig:
     # batch, which dominates wall time for small models over a TPU tunnel.
     fused_epoch: bool = True
 
-    # parallel
-    mesh_data: Optional[int] = None      # None = all devices on data axis
+    # parallel: when either axis is configured (mesh_data set, or
+    # mesh_slices > 1), Trainer builds a (data, slices) jax.sharding.Mesh,
+    # shards every training/eval batch over 'data', replicates train state,
+    # and lets GSPMD insert the gradient reductions. Defaults = single-device.
+    mesh_data: Optional[int] = None      # None + mesh_slices=1 -> no mesh
     mesh_slices: int = 1
 
     def to_json(self) -> str:
@@ -105,6 +118,7 @@ def _build(cls, raw: dict) -> Any:
             sub = {
                 "dataset": DatasetConfig, "transform": TransformConfig,
                 "shwd": SHWDConfig, "transport": TransportConfig,
+                "max_ssw": MaxSSWConfig,
             }.get(k)
             kwargs[k] = _build(sub, v) if sub else v
         elif isinstance(v, list) and isinstance(fields[k].default, tuple):

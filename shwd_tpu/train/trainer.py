@@ -33,7 +33,7 @@ from ..data.dataset import RegistrationDataset
 from ..data.transforms import RegistrationBatch
 from ..flows import make_flow
 from ..losses import (
-    MaxSSWConfig, MaxSSWLoss, PseudoSHWDConfig, PseudoSHWDLoss, SHWDLoss,
+    MaxSSWLoss, PseudoSHWDConfig, PseudoSHWDLoss, SHWDLoss,
     chamfer_criterion, make_sinkhorn_criterion,
 )
 from ..models import PCRNet
@@ -81,9 +81,10 @@ def build_criterion(cfg: TrainConfig):
         return crit.init, lambda s, x, y, train=True: crit.apply(s, x, y, train)
     if name == "max_ssw":
         from ..flows import SphereChartMLP
-        crit = MaxSSWLoss(SphereChartMLP(), MaxSSWConfig(
-            num_projections=cfg.shwd.transport.num_projections,
-            max_iter=cfg.shwd.max_iter, phi_lr=cfg.shwd.phi_lr))
+        from ..flows.chart import EncoderFlowChart
+        chart = (EncoderFlowChart() if cfg.max_ssw_chart == "encoder_flow"
+                 else SphereChartMLP())
+        crit = MaxSSWLoss(chart, cfg.max_ssw)
         return crit.init, crit.apply
     if name == "cd":
         def apply(state, x, y, train=True):
@@ -109,9 +110,33 @@ class Trainer:
         self.crit_init, self.crit_apply = build_criterion(cfg)
         self._early_stop_enabled = (cfg.criterion in ("w_cos", "w1_cos")
                                     and cfg.shwd.early_stop_strikes > 0)
+        # multi-device training (SURVEY.md §2.3 P2): when mesh axes are
+        # configured, the cloud batch is sharded over 'data', model/criterion
+        # state is replicated, and GSPMD inserts the gradient psum — the
+        # TPU-native replacement for the reference's one-GPU-per-process
+        # isolation (train_RUNNER.py:488-498).
+        self.mesh = None
+        self._batch_sharding = None
+        self._repl_sharding = None
+        if cfg.mesh_data is not None or cfg.mesh_slices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_slices)
+            self._batch_sharding = NamedSharding(self.mesh, P("data"))
+            self._repl_sharding = NamedSharding(self.mesh, P())
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._eval)
         self._fused_epoch = jax.jit(self._epoch_scan)
+
+    def _shard_batch(self, batch: RegistrationBatch) -> RegistrationBatch:
+        """Place a host batch on the mesh: batch axis over 'data' when it
+        divides evenly (training batches always do), replicated otherwise
+        (eval's drop_remainder=False tail)."""
+        if self.mesh is None:
+            return batch
+        if batch.source.shape[0] % self.mesh.shape["data"] == 0:
+            return jax.device_put(batch, self._batch_sharding)
+        return jax.device_put(batch, self._repl_sharding)
 
     # -- jitted bodies -----------------------------------------------------
 
@@ -157,6 +182,12 @@ class Trainer:
             idx, key = xs
             batch = make_registration_batch(
                 key, bank_tgt[idx], bank_src[idx], self.cfg.dataset.transform)
+            if self._batch_sharding is not None:
+                # banks/indices stay replicated (cheap, gather-free); the
+                # generated batch is constrained to P('data') so the heavy
+                # model+criterion compute shards across the mesh
+                batch = jax.lax.with_sharding_constraint(
+                    batch, self._batch_sharding)
             new_carry, loss = self._step(carry, batch, train=True)
             return new_carry, loss
 
@@ -168,8 +199,11 @@ class Trainer:
     def init_state(self, key: jax.Array) -> TrainState:
         k_model, k_crit = jax.random.split(key)
         params = self.model.init(k_model)
-        return TrainState(params, self.opt.init(params),
-                          self.crit_init(k_crit), jnp.zeros((), jnp.int32))
+        state = TrainState(params, self.opt.init(params),
+                           self.crit_init(k_crit), jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = jax.device_put(state, self._repl_sharding)
+        return state
 
     def train_one_epoch(self, state, dataset, indices, key, rng):
         if self.cfg.fused_epoch and not self.cfg.nan_guard:
@@ -178,6 +212,7 @@ class Trainer:
         total, count = 0.0, 0
         for batch in dataset.batches(key, indices, self.cfg.batch_size,
                                      shuffle=True, rng=rng):
+            batch = self._shard_batch(batch)
             new_state, loss = self._train_step(state, batch, train=True)
             loss = float(loss)
             if self.cfg.nan_guard and not np.isfinite(loss):
@@ -199,8 +234,12 @@ class Trainer:
         idx_mat = jnp.asarray(idx[:n_batches * bs].reshape(n_batches, bs))
         keys = jax.random.split(key, n_batches)
         if not hasattr(dataset, "_device_banks"):
-            dataset._device_banks = (jnp.asarray(dataset.sources),
-                                     jnp.asarray(dataset.targets))
+            src = jnp.asarray(dataset.sources)
+            tgt = jnp.asarray(dataset.targets)
+            if self.mesh is not None:
+                src = jax.device_put(src, self._repl_sharding)
+                tgt = jax.device_put(tgt, self._repl_sharding)
+            dataset._device_banks = (src, tgt)
         bank_src, bank_tgt = dataset._device_banks
         state, mean_loss = self._fused_epoch(state, bank_src, bank_tgt,
                                              idx_mat, keys)
@@ -235,6 +274,7 @@ class Trainer:
         n_items = 0
         for batch in dataset.batches(key, indices, self.cfg.batch_size,
                                      shuffle=False, drop_remainder=False):
+            batch = self._shard_batch(batch)
             loss, r, t = self._eval_step(state, batch)
             b = batch.source.shape[0]
             loss_sum += float(loss) * b
@@ -267,6 +307,8 @@ class Trainer:
 
         if cfg.load_model and cfg.load_model != "None":
             state, start_epoch = load_checkpoint(cfg.load_model, state)
+            if self.mesh is not None:
+                state = jax.device_put(state, self._repl_sharding)
         else:
             start_epoch = 0
 

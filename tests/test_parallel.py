@@ -67,3 +67,62 @@ def test_sharded_ssw_grad_flows():
     g = jax.jit(jax.grad(lambda a: ssw(a, y, frames)))(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def _fit_cfg(tmp_path, name, **kw):
+    from shwd_tpu.data import DatasetConfig, TransformConfig
+    from shwd_tpu.losses import SHWDConfig, TransportConfig
+    from shwd_tpu.train import TrainConfig
+    return TrainConfig(
+        experiment=name, log_dir=str(tmp_path),
+        criterion="w_cos",
+        dataset=DatasetConfig(
+            source_point_num=16, target_point_num=16, num_synthetic=64,
+            synthetic_kinds=("composite",),
+            transform=TransformConfig(noise_sigma=0.0)),
+        num_epochs=2, batch_size=16, pcr_iteration_num=2,
+        shwd=SHWDConfig(
+            transport=TransportConfig(cost="geodesic", p=2.0, solver="ssw",
+                                      num_projections=8),
+            max_iter=1, lam=1e-4, phi_lr=1e-4),
+        phi_num_flow_layer=1, seed=7, **kw)
+
+
+def test_trainer_fit_on_mesh_matches_single_device(tmp_path):
+    """VERDICT r2 #1: multi-device training through the production loop.
+
+    fit() on the 8-device virtual mesh (data=4, slices=2) must produce
+    finite losses and the same per-epoch trajectory as the single-device
+    run at identical seeds (sharding changes layout, not math — only
+    reduction order differs)."""
+    from shwd_tpu.data import RegistrationDataset
+    from shwd_tpu.train import Trainer
+
+    cfg_single = _fit_cfg(tmp_path, "fit_single")
+    cfg_mesh = _fit_cfg(tmp_path, "fit_mesh", mesh_data=4, mesh_slices=2)
+
+    res_s = Trainer(cfg_single).fit(
+        RegistrationDataset(cfg_single.dataset, "train"), verbose=False)
+    res_m = Trainer(cfg_mesh).fit(
+        RegistrationDataset(cfg_mesh.dataset, "train"), verbose=False)
+
+    assert len(res_m["history"]) == 2
+    for row_s, row_m in zip(res_s["history"], res_m["history"]):
+        assert np.isfinite(row_m["train_loss"])
+        np.testing.assert_allclose(row_m["train_loss"], row_s["train_loss"],
+                                   rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(row_m["rot_error"], row_s["rot_error"],
+                                   rtol=2e-3, atol=1e-3)
+
+
+def test_trainer_fit_on_mesh_per_step_path(tmp_path):
+    """The unfused (nan_guard) epoch path also shards batches over 'data'."""
+    from shwd_tpu.data import RegistrationDataset
+    from shwd_tpu.train import Trainer
+
+    cfg = _fit_cfg(tmp_path, "fit_mesh_step", mesh_data=8, mesh_slices=1,
+                   nan_guard=True)
+    tr = Trainer(cfg)
+    assert tr.mesh is not None and tr.mesh.shape == {"data": 8, "slices": 1}
+    res = tr.fit(RegistrationDataset(cfg.dataset, "train"), verbose=False)
+    assert all(np.isfinite(r["train_loss"]) for r in res["history"])
