@@ -1,0 +1,68 @@
+"""Short max_ssw tuning probes on the real TPU (VERDICT r2 #3).
+
+Each variant trains 30 epochs on the registration bench config and prints
+its rot-error trajectory; the winner gets the full 100-epoch run recorded
+in benchmarks/registration_tpu.json. w_cos reaches ~21 deg at epoch 30.
+"""
+import json
+import sys
+import time
+
+from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+from shwd_tpu.losses.ssw_loss import MaxSSWConfig
+from shwd_tpu.train import TrainConfig, Trainer
+
+VARIANTS = {
+    "A_mlp_lr1e-2_it10": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=10, phi_lr=0.01)),
+    "B_mlp_lr5e-3_it5": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=5, phi_lr=0.005)),
+    "C_enc_lr5e-3_it5": dict(chart="encoder_flow", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=5, phi_lr=0.005)),
+    "D_mlp_lr1e-2_it10_L200": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=200, max_iter=10, phi_lr=0.01)),
+    # old round-2 settings for the record (shwd-borrowed knobs)
+    "E_old_lr9e-5_it1": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=9.2e-5)),
+    # batch 2: the aggressive adversary destabilizes registration (A-D all
+    # worse than E) -> gentler/frozen charts + projection-variance reduction
+    "F_mlp_lr1e-3_it1": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=1e-3)),
+    "G_mlp_frozen_L256": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=256, max_iter=0, phi_lr=1e-3)),
+    "H_mlp_lr9e-5_L256": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=256, max_iter=1, phi_lr=9.2e-5)),
+    "I_enc_mb32_lr1e-4": dict(chart="encoder_flow", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=1e-4, minibatch=32)),
+}
+
+
+def run(name, chart, mcfg, epochs):
+    cfg = TrainConfig(
+        experiment=f"probe_{name}", log_dir="log",
+        criterion="max_ssw", max_ssw_chart=chart, max_ssw=mcfg,
+        dataset=DatasetConfig(
+            source_point_num=128, target_point_num=128, num_synthetic=2048,
+            synthetic_kinds=("composite",), cache_dir="modelnet_cache",
+            transform=TransformConfig(noise_sigma=0.02)),
+        num_epochs=epochs, batch_size=128, pcr_iteration_num=3)
+    tr = Trainer(cfg)
+    ds = RegistrationDataset(cfg.dataset, "train")
+    t0 = time.perf_counter()
+    res = tr.fit(ds, verbose=False)
+    dt = time.perf_counter() - t0
+    h = res["history"]
+    row = {"variant": name, "epochs": epochs, "s_per_epoch": dt / epochs,
+           "best_rot": res["best"]["rot"], "final_rot": h[-1]["rot_error"],
+           "rot_curve_every5": [r["rot_error"] for r in h[::5]]}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    only = set(sys.argv[2:])
+    for name, v in VARIANTS.items():
+        if only and name not in only:
+            continue
+        run(name, v["chart"], v["cfg"], epochs)

@@ -233,14 +233,18 @@ class Trainer:
             return state, 0.0
         idx_mat = jnp.asarray(idx[:n_batches * bs].reshape(n_batches, bs))
         keys = jax.random.split(key, n_batches)
-        if not hasattr(dataset, "_device_banks"):
+        # bank cache lives on the Trainer (not the dataset object): device
+        # placement depends on this trainer's mesh, and mutating a shared
+        # dataset would leak one trainer's placement into another's run
+        cache = getattr(self, "_bank_cache", None)
+        if cache is None or cache[0] is not dataset:
             src = jnp.asarray(dataset.sources)
             tgt = jnp.asarray(dataset.targets)
             if self.mesh is not None:
                 src = jax.device_put(src, self._repl_sharding)
                 tgt = jax.device_put(tgt, self._repl_sharding)
-            dataset._device_banks = (src, tgt)
-        bank_src, bank_tgt = dataset._device_banks
+            self._bank_cache = (dataset, (src, tgt))
+        bank_src, bank_tgt = self._bank_cache[1]
         state, mean_loss = self._fused_epoch(state, bank_src, bank_tgt,
                                              idx_mat, keys)
         return state, float(mean_loss)

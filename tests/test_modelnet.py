@@ -110,3 +110,46 @@ def test_preprocess_and_load_roundtrip(tmp_path):
     clouds2 = load_dataset(64, "train", modelnet_root=str(tmp_path / "gone"),
                            cache_dir=str(cache))
     np.testing.assert_array_equal(clouds2, clouds)
+
+
+def test_off_fixture_end_to_end(tmp_path):
+    """VERDICT r2 #6: the claimed ModelNet parity path, driven end to end
+    from committed OFF meshes — preprocess_modelnet -> RegistrationDataset
+    -> 2-epoch Trainer.fit -> evaluate on the test split
+    (Data_set_maker.py:277-290 semantics)."""
+    from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+    from shwd_tpu.losses import SHWDConfig, TransportConfig
+    from shwd_tpu.train import TrainConfig, Trainer
+    from shwd_tpu.train.evaluate import evaluate
+
+    root = Path(__file__).parent / "fixtures" / "modelnet_mini"
+    cfg = TrainConfig(
+        experiment="off_e2e", log_dir=str(tmp_path / "log"),
+        criterion="w_cos",
+        dataset=DatasetConfig(
+            source_point_num=32, target_point_num=32,
+            modelnet_root=str(root), cache_dir=str(tmp_path / "cache"),
+            transform=TransformConfig(noise_sigma=0.01)),
+        num_epochs=2, batch_size=4, pcr_iteration_num=2,
+        shwd=SHWDConfig(
+            transport=TransportConfig(cost="geodesic", p=2.0, solver="ssw",
+                                      num_projections=8),
+            max_iter=1, lam=1e-4, phi_lr=1e-4),
+        phi_num_flow_layer=1, seed=3)
+
+    train_ds = RegistrationDataset(cfg.dataset, "train")
+    assert len(train_ds) == 6          # 3 classes x 2 committed train meshes
+    # the offline cache the preprocessing pass produced
+    assert (tmp_path / "cache" / "modelnet10_32_train.npz").exists()
+
+    tr = Trainer(cfg)
+    res = tr.fit(train_ds, verbose=False)
+    assert len(res["history"]) == 2
+    assert all(np.isfinite(r["train_loss"]) for r in res["history"])
+
+    ev = evaluate(cfg, state=res["state"], split="test", batch_size=3)
+    assert np.isfinite(ev.mean_rot_error) and np.isfinite(ev.mean_trans_error)
+    assert ev.per_sample_rot.shape == (3,)  # 3 committed test meshes
+    # success curves are monotone 0 -> 1 over the threshold grids
+    assert ev.rot_success_ratio[0] <= ev.rot_success_ratio[-1] == 1.0
+    assert np.all(np.diff(ev.rot_success_ratio) >= 0)
