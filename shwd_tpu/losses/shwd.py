@@ -31,8 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from ..flows.base import FlowChain
-from .transport import (TransportConfig, make_stateful_transport,
-                        make_transport)
+from .transport import TransportConfig, make_transport
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +59,6 @@ class SHWDState(NamedTuple):
     lam: jax.Array
     strikes: jax.Array        # early-stop counter
     key: jax.Array            # for refresh / ssw projections
-    t_state: Any = ()         # transport solver carry (solver='hybrid_warm':
-                              # the auction dual prices, see ops/auction.py)
 
 
 def sphere_regularizer(x: jax.Array) -> jax.Array:
@@ -83,8 +80,6 @@ class SHWDLoss:
         self.flow = flow
         self.cfg = cfg
         self.transport = make_transport(cfg.transport)
-        self._t_init, self._t_apply = make_stateful_transport(cfg.transport)
-        self._warm = cfg.transport.solver == "hybrid_warm"
         # coupled-L2 Adam, matching torch.optim.Adam(weight_decay=...) —
         # the reference's phi_op (train_W_COS.py:392, flow notebooks cell 6)
         from ..utils.optim import torch_adam
@@ -93,21 +88,9 @@ class SHWDLoss:
 
     def init(self, key: jax.Array, x: Optional[jax.Array] = None,
              y: Optional[jax.Array] = None) -> SHWDState:
-        """``x``/``y`` (example clouds) are required for solver='hybrid_warm':
-        they seed the carried dual prices with one annealed-Sinkhorn run
-        (paid here, never in the step loop)."""
+        """``x``/``y`` are accepted (and ignored) for call-site stability."""
         k_flow, k_carry = jax.random.split(key)
         params, fstate = self.flow.init(k_flow)
-        t_state = ()
-        if self._warm:
-            if x is None or y is None:
-                raise ValueError(
-                    "solver='hybrid_warm' needs example clouds at init: "
-                    "SHWDLoss.init(key, x, y)")
-            sx, sy = self._flow_pair(params, fstate,
-                                     x if x.ndim == 3 else x[None],
-                                     y if y.ndim == 3 else y[None])
-            t_state = self._t_init(sx, sy)
         return SHWDState(
             phi_params=params,
             phi_state=fstate,
@@ -115,7 +98,6 @@ class SHWDLoss:
             lam=jnp.asarray(self.cfg.lam, jnp.float32),
             strikes=jnp.zeros((), jnp.int32),
             key=k_carry,
-            t_state=t_state,
         )
 
     # -- internals ---------------------------------------------------------
@@ -128,12 +110,12 @@ class SHWDLoss:
         s = self.flow(params, fstate, jnp.concatenate([x, y], axis=-2))
         return s[..., :n, :], s[..., n:, :]
 
-    def _inner_objective(self, params, fstate, x, y, lam, key, t_state):
+    def _inner_objective(self, params, fstate, x, y, lam, key):
         """phi's ascent objective: lam * reg - W (minimized => W maximized)."""
         sx, sy = self._flow_pair(params, fstate, x, y)
-        w, t_state = self._t_apply(t_state, sx, sy, key)
+        w = self.transport(sx, sy, key)
         reg = lam * (sphere_regularizer(sx) + sphere_regularizer(sy))
-        return reg - w, t_state
+        return reg - w
 
     def _inner_scan(self, state: SHWDState, x, y):
         """max_iter adversarial steps on detached clouds via lax.scan."""
@@ -142,19 +124,18 @@ class SHWDLoss:
         cfg = self.cfg
 
         def step(carry, key):
-            params, fstate, opt_state, t_state = carry
-            grads, t_state = jax.grad(self._inner_objective, has_aux=True)(
-                params, fstate, xd, yd, state.lam, key, t_state)
+            params, fstate, opt_state = carry
+            grads = jax.grad(self._inner_objective)(
+                params, fstate, xd, yd, state.lam, key)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if cfg.power_iter_per_step > 0:
                 fstate = self.flow.update_state(params, fstate,
                                                 cfg.power_iter_per_step)
-            return (params, fstate, opt_state, t_state), None
+            return (params, fstate, opt_state), None
 
         keys = jax.random.split(state.key, cfg.max_iter + 1)
-        carry = (state.phi_params, state.phi_state, state.opt_state,
-                 state.t_state)
+        carry = (state.phi_params, state.phi_state, state.opt_state)
         carry, _ = jax.lax.scan(step, carry, keys[:-1])
         return carry, keys[-1]
 
@@ -188,22 +169,22 @@ class SHWDLoss:
                 def _skip(_):
                     keys = jax.random.split(state.key, cfg.max_iter + 1)
                     return ((state.phi_params, state.phi_state,
-                             state.opt_state, state.t_state), keys[-1])
+                             state.opt_state), keys[-1])
 
                 go = state.strikes <= cfg.early_stop_strikes
-                (params, fstate, opt_state, t_state), key = jax.lax.cond(
+                (params, fstate, opt_state), key = jax.lax.cond(
                     go, _run, _skip, None)
             else:
-                ((params, fstate, opt_state, t_state),
+                ((params, fstate, opt_state),
                  key) = self._inner_scan(state, x, y)
             lam = state.lam * cfg.lam_decay
             state = SHWDState(params, fstate, opt_state, lam,
-                              state.strikes, key, t_state)
+                              state.strikes, key)
         # final (undetached) forward — gradient path to x and y
         k_final, k_next = jax.random.split(state.key)
         sx, sy = self._flow_pair(state.phi_params, state.phi_state, x, y)
-        w, t_state = self._t_apply(state.t_state, sx, sy, k_final)
-        state = state._replace(key=k_next, t_state=t_state)
+        w = self.transport(sx, sy, k_final)
+        state = state._replace(key=k_next)
         return (w, sx, sy), state
 
     def add_strike(self, state: SHWDState) -> SHWDState:

@@ -36,9 +36,7 @@ class TransportConfig:
     cost: str = "lp"            # 'lp' | 'cosine' | 'geodesic'
     p: float = 2.0
     # 'sinkhorn' | 'sinkhorn_div' | 'sinkhorn_fast' | 'ssw' | 'exact' |
-    # 'auction' | 'hybrid' | 'hybrid_warm' (carried-dual exact EMD; needs
-    # the stateful API below — through make_transport it degrades to
-    # 'hybrid')
+    # 'auction' | 'hybrid' (annealed-Sinkhorn duals + auction, exact)
     solver: str = "sinkhorn"
     eps: float = 5e-3
     num_iters: int = 50
@@ -109,11 +107,10 @@ def make_transport(cfg: TransportConfig) -> Callable:
             # on-device exact assignment (equal sizes): eps-scaled auction
             from ..ops.auction import auction_emd2
             val = auction_emd2(c, 1e-7)
-        elif cfg.solver in ("hybrid", "hybrid_warm"):
+        elif cfg.solver == "hybrid":
             # on-device exact: annealed-Sinkhorn duals + warm-started
-            # auction — the flagship's exact-EMD path on TPU (the
-            # stateless fallback for 'hybrid_warm'); the cfg Sinkhorn
-            # schedule controls the dual warm-up depth
+            # auction — the flagship's exact-EMD path on TPU; the cfg
+            # Sinkhorn schedule controls the dual warm-up depth
             from ..ops.auction import hybrid_emd2
             val = hybrid_emd2(c, 1e-7, cfg.eps, cfg.num_iters,
                               cfg.num_scales)
@@ -127,51 +124,9 @@ def make_transport(cfg: TransportConfig) -> Callable:
     return w
 
 
-def make_stateful_transport(cfg: TransportConfig):
-    """Stateful variant: (t_init(x, y) -> tstate, w(tstate, x, y, key) ->
-    (val, new_tstate)).
-
-    For solver='hybrid_warm' the state is the carried auction dual prices
-    (B, N): seeded once by an annealed-Sinkhorn run (``init_warm_prices``),
-    then each call solves exactly with a warm-started auction only
-    (``warm_emd2``) — the iterative-driver fast path that removes the
-    per-call Sinkhorn anneal from SHWD's hot loop. Every other solver is
-    stateless (tstate = (), same values as ``make_transport``).
-    """
-    if cfg.solver == "hybrid_warm":
-        from ..ops.auction import init_warm_state, warm_emd2
-
-        def reduce(v):
-            if cfg.reduce == "mean":
-                return jnp.mean(v)
-            if cfg.reduce == "sum":
-                return jnp.sum(v)
-            return v
-
-        def t_init(x, y):
-            xb = x if x.ndim == 3 else x[None]
-            yb = y if y.ndim == 3 else y[None]
-            return init_warm_state(build_cost(xb, yb, cfg.cost, cfg.p))
-
-        def w(tstate, x, y, key=None):
-            batched = x.ndim == 3
-            xb = x if batched else x[None]
-            yb = y if batched else y[None]
-            c = build_cost(xb, yb, cfg.cost, cfg.p)
-            val, tstate = warm_emd2(c, tstate, 1e-7)
-            if not batched:
-                val = val[0]
-            val = jnp.maximum(val, 1e-30) ** (1.0 / cfg.p)
-            return (reduce(val) if batched else val), tstate
-
-        return t_init, w
-
-    base = make_transport(cfg)
-
-    def t_init(x, y):  # noqa: ARG001 - uniform signature
-        return ()
-
-    def w(tstate, x, y, key=None):
-        return base(x, y, key), tstate
-
-    return t_init, w
+# NOTE: a persistent-dual exact solver ('hybrid_warm', carrying auction
+# prices across calls) was built and measured in rounds 2-3 and REMOVED:
+# it lost to the cold hybrid path in both its candidate regimes — 43 vs
+# 21 ms/iter under adversarial phi drift and 89 vs 10 ms/iter even with a
+# frozen phi (benchmarks/warm_timing.json) — because the CS-repair phases
+# at tight eps cost more sweeps than a fresh annealed warm-up saves.

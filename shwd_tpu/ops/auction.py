@@ -31,23 +31,11 @@ import jax.numpy as jnp
 _NEG = -1e30
 
 
-def _owner_from_assign(assign, n, m):
-    """object->person map consistent with a (partial) person->object map."""
-    onehot = jax.nn.one_hot(
-        jnp.where(assign >= 0, assign, m), m + 1,
-        dtype=jnp.int32)[..., :m]                     # (B, N, M)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    return jnp.einsum("bnm,n->bm", onehot, ids + 1).astype(jnp.int32) - 1
-
-
-def _auction_phase(cost, prices, eps, max_sweeps, assign0=None, owner0=None):
+def _auction_phase(cost, prices, eps, max_sweeps):
     """One eps-phase of synchronous auction. cost: (B, N, M) to MINIMIZE.
 
-    By default starts with everyone unassigned (prices warm-started from the
-    previous phase); pass ``assign0``/``owner0`` to keep a partial matching
-    whose pairs already satisfy eps-CS — those persons never bid, so a
-    fully-valid carried assignment costs zero sweeps. Returns
-    (assignment (B, N) int32 person->object, prices, sweeps).
+    Starts with everyone unassigned; prices warm-started from the previous
+    phase. Returns (assignment (B, N) int32 person->object, prices, sweeps).
     """
     b, n, m = cost.shape
     dtype = cost.dtype
@@ -98,10 +86,8 @@ def _auction_phase(cost, prices, eps, max_sweeps, assign0=None, owner0=None):
 
         return assign_new, new_owner, new_prices, sweeps + 1
 
-    if assign0 is None:
-        assign0 = jnp.full((b, n), -1, jnp.int32)
-    if owner0 is None:
-        owner0 = jnp.full((b, m), -1, jnp.int32)
+    assign0 = jnp.full((b, n), -1, jnp.int32)
+    owner0 = jnp.full((b, m), -1, jnp.int32)
     assign, owner, prices, sweeps = jax.lax.while_loop(
         cond, body, (assign0, owner0, prices, jnp.zeros((), jnp.int32)))
     return assign, prices, sweeps
@@ -118,8 +104,7 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
     (B, N), total sweeps used). eps-scaling: eps starts at ~max|C|/8 and
     divides by ``scale_factor`` until <= eps_final. ``prices0``/``eps0``
     warm-start the dual prices — e.g. from annealed-Sinkhorn potentials
-    (see ``hybrid_emd2``) or the previous optimum of a slowly-moving
-    problem (see ``warm_emd2``), which skips the expensive large-eps
+    (see ``hybrid_emd2``), which skips the expensive large-eps
     price-discovery phases entirely.
     """
     b, n, m = cost.shape
@@ -236,93 +221,9 @@ def _emd2_bwd(eps_final, res, g):
 auction_emd2.defvjp(_emd2_fwd, _emd2_bwd)
 
 
-# -- persistent-dual exact EMD (the iterative-driver fast path) --------------
-
-def init_warm_state(cost: jax.Array):
-    """(assignment, prices) for ``warm_emd2``'s first call: one full hybrid
-    solve (annealed-Sinkhorn duals + auction) on the initial cost. Paid once,
-    outside the step loop."""
-    c_sg = jax.lax.stop_gradient(cost)
-    assign, sweeps = _hybrid_assignment(c_sg, 1e-7)
-    # recover eps-CS prices for the assignment: the hybrid path's auction
-    # already ends with them, so redo the final bookkeeping cheaply via a
-    # zero-sweep repair at a loose eps (prices from Sinkhorn duals)
-    from .sinkhorn import emd2_approx
-    _, _, g = emd2_approx(c_sg, eps=1e-5, num_iters=100, num_scales=8,
-                          return_potentials=True)
-    return assign, jax.lax.stop_gradient(-g)
-
-
-def _warm_solve(cost, assign, prices, eps_final, max_sweeps=4000):
-    """Repair a carried (assignment, prices) pair for a drifted cost.
-
-    Per eps-phase: keep every person whose pair still satisfies eps-CS at
-    the current prices, unassign only the violators, and let the auction
-    re-bid those. A step where nothing moved is a pure CS check (zero
-    sweeps); a small drift re-auctions only the affected persons. The eps
-    schedule starts at the *measured* worst CS violation, so the phase
-    count adapts to the drift instead of rediscovering the whole price
-    landscape like a cold eps-scaled run.
-    """
-    b, n, m = cost.shape
-    benefit = -cost
-
-    big = jnp.asarray(jnp.finfo(cost.dtype).max / 4, cost.dtype)
-
-    def slack_of(assign, prices):
-        value = benefit - prices[:, None, :]
-        vmax = jnp.max(value, axis=-1)                          # (B, N)
-        v_own = jnp.take_along_axis(
-            value, jnp.maximum(assign, 0)[..., None], axis=-1)[..., 0]
-        return jnp.where(assign >= 0, vmax - v_own, big)        # (B, N)
-
-    s0 = slack_of(assign, prices)
-    eps0 = jnp.clip(jnp.max(jnp.where(s0 >= big, 0.0, s0)),
-                    eps_final, None).astype(cost.dtype)
-
-    def cond(carry):
-        done, *_ = carry
-        return jnp.logical_not(done)
-
-    def phase(carry):
-        done, eps, assign, prices, total = carry
-        e = jnp.maximum(eps, eps_final)
-        keep = slack_of(assign, prices) <= e
-        assign_init = jnp.where(keep, assign, -1)
-        owner_init = _owner_from_assign(assign_init, n, m)
-        assign, prices, s = _auction_phase(cost, prices, e, max_sweeps,
-                                           assign_init, owner_init)
-        return (eps <= eps_final, eps / 8.0, assign, prices, total + s)
-
-    done, eps, assign, prices, total = jax.lax.while_loop(
-        cond, phase, (jnp.zeros((), bool), eps0, assign, prices,
-                      jnp.zeros((), jnp.int32)))
-    # sweep-cap safety (never triggers with a sane carried state)
-    assign = jnp.where(assign < 0,
-                       jnp.argmin(cost, axis=-1).astype(jnp.int32), assign)
-    # recenter: auction is shift-invariant per problem, and recentering
-    # stops monotone price growth from accumulating over carried steps
-    prices = prices - jnp.mean(prices, axis=-1, keepdims=True)
-    return assign, prices
-
-
-def warm_emd2(cost: jax.Array, state, eps_final: float = 1e-7):
-    """Exact EMD for (B, N, N) uniform problems with a carried solver state.
-
-    ``state = (assignment (B, N) int32, prices (B, N))`` from the previous
-    call (seed with ``init_warm_state``). For iterative drivers (Wasserstein
-    flows, adversarial phi updates) the clouds move a little per step, so
-    the previous optimum is eps-complementary-slack up to the movement —
-    the auction repairs only the violated persons instead of re-running
-    ``hybrid_emd2``'s annealed-Sinkhorn + cold auction per call.
-
-    Returns (value (B,), new_state). Differentiable wrt cost: the solve runs
-    on a detached cost and the value is a gather, so the native VJP is the
-    permutation plan / N — the same envelope gradient (reference ot.emd2
-    semantics) the custom VJPs above implement. The state carries no
-    gradient (int assignment; prices come from the detached solve).
-    """
-    assign0, prices0 = state
-    c_sg = jax.lax.stop_gradient(cost)
-    assign, prices = _warm_solve(c_sg, assign0, prices0, eps_final)
-    return _assignment_cost(cost, assign), (assign, prices)
+# NOTE: a persistent-dual solver (init_warm_state/warm_emd2, carrying
+# (assignment, prices) across calls and repairing only eps-CS violators)
+# lived here through rounds 2-3 and was removed after measurement: it lost
+# to the cold hybrid path in both candidate regimes (adversarial drift AND
+# frozen-phi flows — benchmarks/warm_timing.json), because tight-eps repair
+# phases cost more sweeps than the annealed Sinkhorn warm-up saves.

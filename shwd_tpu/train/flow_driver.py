@@ -56,7 +56,7 @@ class FlowConfig:
     shwd_eps: float = 1e-5
     shwd_num_iters: int = 150
     shwd_num_scales: int = 10
-    # hybrid/hybrid_warm dual warm-up: the auction makes the permutation
+    # hybrid dual warm-up: the auction makes the permutation
     # exact regardless, so this Sinkhorn stage only controls auction sweep
     # counts. 100x8 measured best overall: shorter schedules leave the
     # far-apart early-flow duals so loose the auction pays thousands of
@@ -93,7 +93,7 @@ def _make_loss_step(cfg: FlowConfig):
 
     if cfg.method == "SHWD":
         flow = make_flow("Residual", cfg.shwd_layers)
-        hybrid = cfg.shwd_solver in ("hybrid", "hybrid_warm")
+        hybrid = cfg.shwd_solver == "hybrid"
         crit = SHWDLoss(flow, SHWDConfig(
             transport=TransportConfig(cost="lp", p=2.0, solver=cfg.shwd_solver,
                                       eps=cfg.shwd_eps,

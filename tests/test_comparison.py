@@ -65,3 +65,25 @@ def test_gaussian_kl_vs_w2_closed_form():
     kl, w2 = gaussian_kl_vs_w2(sigma, t)
     np.testing.assert_allclose(w2, mags)           # W2 linear in |t|
     np.testing.assert_allclose(kl, 0.5 * mags**2)  # KL quadratic (x-axis var 1)
+
+
+def test_make_figures_smoke(tmp_path):
+    """The figure exporter renders every figure whose artifact exists,
+    without touching the committed figures directory."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "make_figures",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                     "make_figures.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "figs")
+    mod.wd_vs_cd(out, "rotation")
+    mod.wd_vs_kl(out)
+    mod.robustness(out)
+    mod.flow_convergence(out, "cube")   # tolerates rows without curves
+    made = sorted(p.name for p in (tmp_path / "figs").glob("*.png"))
+    assert "wd_vs_cd_rotation.png" in made
+    assert "wd_vs_kl.png" in made
+    assert "robustness.png" in made

@@ -93,64 +93,6 @@ def test_deep_annealed_sinkhorn_reaches_exact():
         np.testing.assert_allclose(got, _exact(c), rtol=1e-2)
 
 
-def test_warm_emd2_matches_exact_across_carried_steps():
-    """The persistent-state solver (warm_emd2) must stay exact while the
-    problem drifts — the property the SHWD hot loop relies on to skip the
-    per-call Sinkhorn anneal."""
-    from shwd_tpu.ops.auction import init_warm_state, warm_emd2
-
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
-    c = cost_matrix(x, y, "lp", 2.0)
-    state = init_warm_state(c)
-    v, state = warm_emd2(c, state, 1e-7)
-    np.testing.assert_allclose(np.asarray(v), _exact(c), rtol=1e-4)
-    for i in range(3):
-        x = x + 0.02 * jnp.asarray(
-            rng.normal(size=x.shape).astype(np.float32))
-        c = cost_matrix(x, y, "lp", 2.0)
-        v, state = warm_emd2(c, state, 1e-7)
-        np.testing.assert_allclose(np.asarray(v), _exact(c), rtol=1e-4)
-    # prices stay recentered (no unbounded drift across carried calls)
-    np.testing.assert_allclose(np.asarray(state[1]).mean(-1), 0.0, atol=1e-5)
-
-
-def test_warm_emd2_gradient_is_plan_and_state_detached():
-    from shwd_tpu.ops.auction import init_warm_state, warm_emd2
-
-    _, _, c = _rand_costs(32, b=2, seed=11)
-    state = init_warm_state(c)
-    g = np.asarray(jax.grad(
-        lambda cc: jnp.sum(warm_emd2(cc, state, 1e-7)[0]))(c))
-    n = c.shape[-1]
-    np.testing.assert_allclose(g.sum(-1), 1.0 / n, rtol=1e-6)
-    np.testing.assert_allclose((g * np.asarray(c)).sum((-2, -1)),
-                               _exact(c), rtol=1e-4)
-    # no gradient flows into the carried prices
-    gp = jax.grad(lambda p: jnp.sum(warm_emd2(c, (state[0], p), 1e-7)[0]))(
-        state[1])
-    np.testing.assert_allclose(np.asarray(gp), 0.0)
-
-
-def test_shwd_hybrid_warm_matches_hybrid_trajectory():
-    """SHWD with the carried-dual solver must produce the same flow as the
-    per-call anneal solver (both are exact EMD underneath)."""
-    from shwd_tpu.ops.sphere_sampling import sample_cube_surface
-    from shwd_tpu.train.flow_driver import FlowConfig, run_flow
-
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    src = sample_cube_surface(k1, 48)
-    tgt = sample_cube_surface(k2, 48, biased=True)
-    evals = {}
-    for solver in ("hybrid", "hybrid_warm"):
-        cfg = FlowConfig(method="SHWD", num_iterations=10, eval_interval=5,
-                         shwd_layers=2, shwd_solver=solver, seed=0)
-        evals[solver] = run_flow(src, tgt, cfg).eval_values
-    np.testing.assert_allclose(evals["hybrid_warm"], evals["hybrid"],
-                               rtol=1e-3)
-
-
 def test_sinkhorn_divergence_zero_at_identity():
     x, _, _ = _rand_costs(64, b=1)
     c_xx = cost_matrix(x, x, "lp", 2.0)
