@@ -13,6 +13,7 @@ import time
 from pathlib import Path
 
 from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+from shwd_tpu.losses.ssw_loss import MaxSSWConfig
 from shwd_tpu.train import TrainConfig, Trainer
 
 
@@ -31,6 +32,10 @@ def run(criterion: str, epochs: int, num_synthetic: int = 2048) -> dict:
             cache_dir="modelnet_cache",
             transform=TransformConfig(noise_sigma=0.02)),
         num_epochs=epochs,
+        # max_ssw: probe-tuned winner (_probe_max_ssw.py batches 1-2): the
+        # gentle-ascent chart (lr ~1e-4, one inner step) beats every
+        # aggressive-adversary variant, which destabilize registration
+        max_ssw=MaxSSWConfig(num_projections=100, max_iter=1, phi_lr=9.2e-5),
         batch_size=128,
         pcr_iteration_num=3,
         nan_guard=True,
