@@ -3,16 +3,20 @@
 VERDICT r2 #5: the BASELINE clouds/s report must cover the flagship
 exact-EMD configuration, not only the cheapest SSW config. Rows:
 
-- ssw_light:      the round-2 headline config (SSW solver, 1 flow layer,
-                  pcr_iters 2) — the fastest production step
+- ssw_light:       round-2 headline config (SSW solver, 1 flow layer, pcr 2)
 - hybrid_flagship: the accuracy-proven exact-EMD path at the canonical
-                  registration config (hybrid solver, 3 flow layers,
-                  pcr_iters 3 — train_RUNNER.py:369-391 scale)
-- ssw_1024 / hybrid_1024: ModelNet eval scale (N=1024 points,
-                  test_ERROR.py:239-240)
+                   registration config (hybrid, 3 flow layers, pcr 3)
+- ssw_1024 / hybrid_1024: ModelNet eval scale (N=1024, test_ERROR.py:239)
 
-Timing discipline: fresh input buffers every call + scalar loss readback
-(the tunnel memoizes repeated executions on identical buffers); min of 5.
+Timing discipline (see .claude/skills/verify): the axon tunnel memoizes
+repeated executions on identical buffers AND adds ~0.2 s dispatch latency
+per call, so single-step wall times are fantasy in one direction and
+RTT-dominated in the other. This harness times the PRODUCTION path — the
+fused-epoch lax.scan over K on-device-generated batches (one dispatch) —
+at two chain lengths and reports the slope (t_K2 - t_K1) / (K2 - K1):
+pure per-step device time, amortized exactly like Trainer.fit amortizes it.
+Clouds come from the composite shape bank with real pose/noise transforms
+(random-normal clouds give the auction unrepresentatively hard problems).
 
 Usage: python benchmarks/throughput_1chip.py
 Writes benchmarks/scaling_tpu_1chip.json.
@@ -28,8 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shwd_tpu.data import DatasetConfig
-from shwd_tpu.data.transforms import RegistrationBatch
+from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
 from shwd_tpu.losses import SHWDConfig, TransportConfig
 from shwd_tpu.train import TrainConfig, Trainer
 
@@ -37,14 +40,19 @@ ROWS = [
     ("ssw_light", dict(B=128, N=128, solver="ssw", layers=1, pcr=2)),
     ("hybrid_flagship", dict(B=128, N=128, solver="hybrid", layers=3, pcr=3)),
     ("ssw_1024", dict(B=32, N=1024, solver="ssw", layers=1, pcr=2)),
-    ("hybrid_1024", dict(B=32, N=1024, solver="hybrid", layers=3, pcr=3)),
+    # B=8: the (B, 1024, 1024) auction sweep buffers at B=32 exceed
+    # device memory through the chained-scan residuals
+    ("hybrid_1024", dict(B=8, N=1024, solver="hybrid", layers=3, pcr=3)),
 ]
 
 
-def run(name, B, N, solver, layers, pcr):
+def run(name, B, N, solver, layers, pcr, k1=4, k2=20, reps=3):
     cfg = TrainConfig(
         criterion="w_cos", batch_size=B,
-        dataset=DatasetConfig(source_point_num=N, target_point_num=N),
+        dataset=DatasetConfig(
+            source_point_num=N, target_point_num=N, num_synthetic=256,
+            synthetic_kinds=("composite",), cache_dir="modelnet_cache",
+            transform=TransformConfig(noise_sigma=0.02)),
         pcr_iteration_num=pcr,
         shwd=SHWDConfig(
             transport=TransportConfig(
@@ -54,43 +62,70 @@ def run(name, B, N, solver, layers, pcr):
         phi_num_flow_layer=layers)
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
+    ds = RegistrationDataset(cfg.dataset, "train")
+    bank_src = jnp.asarray(ds.sources)
+    bank_tgt = jnp.asarray(ds.targets)
     rng = np.random.default_rng(0)
 
-    def batchgen():
-        return RegistrationBatch(
-            target=jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)),
-            source=jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)),
-            igt_rotation=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
-            igt_translation=jnp.zeros((B, 3)))
+    def chain(k_steps, key):
+        idx = jnp.asarray(rng.integers(0, len(ds), size=(k_steps, B)))
+        keys = jax.random.split(key, k_steps)
+        return trainer._fused_epoch(state, bank_src, bank_tgt, idx, keys)
 
-    state, loss = trainer._train_step(state, batchgen(), train=True)
-    jax.block_until_ready(loss)           # compile outside the timed region
-    times = []
-    for _ in range(5):
-        batch = batchgen()
-        jax.block_until_ready(batch.source)
+    def timed(k_steps, key):
         t0 = time.perf_counter()
-        state, loss = trainer._train_step(state, batch, train=True)
-        _ = float(loss)                   # scalar readback = full sync
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+        _, loss = chain(k_steps, key)
+        _ = float(loss)                 # scalar readback = full sync
+        return time.perf_counter() - t0
+
+    key = jax.random.PRNGKey(1)
+    for k in (k1, k2):                  # compile both chain lengths
+        key, kk = jax.random.split(key)
+        _, loss = chain(k, kk)
+        jax.block_until_ready(loss)
+    t1s, t2s = [], []
+    for _ in range(reps):
+        key, ka, kb = jax.random.split(key, 3)
+        t1s.append(timed(k1, ka))
+        t2s.append(timed(k2, kb))
+    step_s = (min(t2s) - min(t1s)) / (k2 - k1)
     row = {"config": name, "batch": B, "points": N, "solver": solver,
            "flow_layers": layers, "pcr_iters": pcr,
-           "ms_per_step": t * 1e3, "clouds_per_second": B / t}
+           "ms_per_step": step_s * 1e3, "clouds_per_second": B / step_s,
+           "dispatch_overhead_ms": (min(t1s) - k1 * step_s) * 1e3,
+           "chain_lengths": [k1, k2]}
     print(json.dumps(row), flush=True)
     return row
 
 
 def main():
-    rows = [run(name, **kw) for name, kw in ROWS]
+    only = set(sys.argv[1:])
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling_tpu_1chip.json")
-    with open(out, "w") as f:
-        json.dump({
-            "device": str(jax.devices()[0]),
-            "workload": "W_COS train step (PCRNet + adversarial SHWD)",
-            "rows": rows,
-        }, f, indent=1)
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f)
+        merged = {r["config"]: r for r in prev.get("rows", [])}
+    for name, kw in ROWS:
+        if only and name not in only:
+            continue
+        if name == "hybrid_1024":
+            row = run(name, **kw, k1=2, k2=8, reps=2)
+        else:
+            row = run(name, **kw)
+        merged[name] = row
+        with open(out, "w") as f:          # write after every row
+            json.dump({
+                "device": str(jax.devices()[0]),
+                "workload": "W_COS fused-epoch train step (PCRNet + "
+                            "adversarial SHWD), composite shape bank, "
+                            "on-device transforms",
+                "timing": "slope over chained-scan lengths (amortized "
+                          "device time; dispatch_overhead_ms = tunnel RTT "
+                          "+ setup)",
+                "rows": [merged[n] for n, _ in ROWS if n in merged],
+            }, f, indent=1)
     print("wrote", out)
 
 

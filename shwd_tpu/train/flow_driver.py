@@ -58,10 +58,11 @@ class FlowConfig:
     shwd_num_scales: int = 10
     # hybrid dual warm-up: the auction makes the permutation
     # exact regardless, so this Sinkhorn stage only controls auction sweep
-    # counts. 100x8 measured best overall: shorter schedules leave the
-    # far-apart early-flow duals so loose the auction pays thousands of
-    # extra sweeps — far more than the logsumexp time saved.
-    hybrid_warmup_iters: int = 100
+    # counts. Round-3 frontier sweep on the 400-iter cube flow (identical
+    # trajectories throughout): 40x8 = 14.7 ms/iter beats 50x8 (15.7),
+    # 100x8 (20.6), 150x10 (31.5); dropping SCALES is what blows up —
+    # 50x4 costs 33.6 ms and 25x4 over 1 s/iter in auction sweeps.
+    hybrid_warmup_iters: int = 40
     hybrid_warmup_scales: int = 8
     eval_metric: str = "w2"        # 'w2' exact EMD | 'cd' chamfer
     # cosine-decay the point LR to lr * lr_decay_alpha over the run
