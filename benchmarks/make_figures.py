@@ -172,21 +172,27 @@ def wd_vs_kl(out_dir):
     _save(fig, out_dir, "wd_vs_kl")
 
 
-def success_curves(out_dir, name="eval_bench_w_cos"):
-    d = _load(name)
-    if d is None:
+def success_curves(out_dir):
+    import glob
+    paths = sorted(glob.glob(os.path.join(HERE, "eval_*.json")))
+    runs = [json.load(open(p)) for p in paths]
+    if not runs:
         return
     fig, axes = plt.subplots(1, 2, figsize=(7.6, 3.2))
-    axes[0].plot(d["rot_thresholds_deg"], d["rot_success_ratio"],
-                 color=SLOTS[0], lw=1.8)
+    for slot, d in enumerate(runs):
+        label = (f"{d['criterion']} "
+                 f"({d['mean_rot_error_deg']:.1f}°)")
+        axes[0].plot(d["rot_thresholds_deg"], d["rot_success_ratio"],
+                     color=SLOTS[slot % len(SLOTS)], lw=1.8, label=label)
+        axes[1].plot(d["trans_thresholds"], d["trans_success_ratio"],
+                     color=SLOTS[slot % len(SLOTS)], lw=1.8)
     axes[0].set_xlabel("rotation-error threshold (deg)")
     axes[0].set_ylabel("success ratio")
-    axes[1].plot(d["trans_thresholds"], d["trans_success_ratio"],
-                 color=SLOTS[0], lw=1.8)
+    axes[0].legend(loc="lower right", fontsize=8)
     axes[1].set_xlabel("translation-error threshold")
-    fig.suptitle(f"Success-ratio curves — {d['experiment']} "
-                 f"(mean rot {d['mean_rot_error_deg']:.2f} deg)",
-                 color=INK, fontsize=10, y=1.02)
+    fig.suptitle("Success-ratio curves on the held-out split "
+                 "(mean rot error per criterion)", color=INK,
+                 fontsize=10, y=1.02)
     _save(fig, out_dir, "success_curves")
 
 
