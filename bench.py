@@ -46,7 +46,10 @@ def main():
 
     res = run_flow(source, target, cfg)   # default eval_fn = exact W2
 
+    from shwd_tpu.utils.profiling import mfu
+
     sec_per_iter = float(np.mean(res.interval_seconds)) / cfg.eval_interval
+    util = mfu(res.flops_per_step, sec_per_iter)
     result = {
         "metric": "shwd_flow_step_time_1200pts",
         "value": res.steps_per_second,
@@ -59,6 +62,7 @@ def main():
         "reference_seconds_per_iter": REFERENCE_SECONDS_PER_ITER,
         "solver": cfg.shwd_solver,
         "device": str(jax.devices()[0]),
+        **util,
     }
     print(json.dumps(result))
 

@@ -7,6 +7,10 @@ on (iters=100, scales=8) measured best overall; this probe re-checks the
 frontier on the full 400-iter flow (the headline bench workload), since
 most of the flow runs with *close* clouds where shallow warm-ups may win.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

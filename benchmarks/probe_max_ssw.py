@@ -4,6 +4,10 @@ Each variant trains 30 epochs on the registration bench config and prints
 its rot-error trajectory; the winner gets the full 100-epoch run recorded
 in benchmarks/registration_tpu.json. w_cos reaches ~21 deg at epoch 30.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

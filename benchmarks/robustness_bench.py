@@ -89,10 +89,12 @@ def main():
         # the artifact reads as ONE uniform sweep: refuse to silently mix
         # rows produced under a different training budget
         for r in rows.values():
-            if (r["epochs"], r["num_synthetic"]) != (epochs, num_synthetic):
+            # .get: rows from a pre-guard script version lack these keys —
+            # treat that as a mismatch, not a KeyError
+            if (r.get("epochs"), r.get("num_synthetic")) != (epochs, num_synthetic):
                 raise SystemExit(
                     f"existing row {r['setting']!r} was produced with "
-                    f"epochs={r['epochs']}, num_synthetic={r['num_synthetic']}"
+                    f"epochs={r.get('epochs')}, num_synthetic={r.get('num_synthetic')}"
                     f" but this run uses {epochs}/{num_synthetic}; delete "
                     f"{out} or rerun with the matching budget")
     for setting in SETTINGS:

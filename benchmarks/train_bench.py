@@ -5,8 +5,12 @@ Runs the canonical-ish config (128 pts, batch 128, noise 0.02, 45-deg /
 criterion and records the full rot/trans-error curves. Appends one JSON
 object per criterion to benchmarks/registration_tpu.json.
 
-Usage: python _train_bench.py <criterion> <epochs> [out_json]
+Usage: python benchmarks/train_bench.py <criterion> <epochs> [out_json]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

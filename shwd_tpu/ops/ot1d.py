@@ -26,6 +26,35 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def sort_lastdim(x: jax.Array) -> jax.Array:
+    """jnp.sort(x, -1) with a permutation-sort VJP.
+
+    JAX's default reverse-mode rule for sort applies the inverse permutation
+    with a gather, which TPU executes near-serially along the lane dimension
+    (measured ~12 ms extra per (12800, 128) sort in the SSW hot path). Both
+    directions here are ONE stable lax.sort each: forward sorts (x, iota) to
+    get values + permutation, backward sorts (perm, cotangent) — sorting the
+    cotangent by the permutation keys IS the inverse-permutation apply.
+    """
+    return jnp.sort(x, axis=-1)
+
+
+def _sort_lastdim_fwd(x):
+    iota = jnp.broadcast_to(
+        jax.lax.iota(jnp.int32, x.shape[-1]), x.shape)
+    xs, perm = jax.lax.sort_key_val(x, iota, dimension=-1)
+    return xs, perm
+
+
+def _sort_lastdim_bwd(perm, ct):
+    _, ct_orig = jax.lax.sort_key_val(perm, ct, dimension=-1)
+    return (ct_orig,)
+
+
+sort_lastdim.defvjp(_sort_lastdim_fwd, _sort_lastdim_bwd)
+
+
 def batched_searchsorted(a: jax.Array, q: jax.Array, side: str = "left") -> jax.Array:
     """searchsorted along the last axis, batched over leading dims.
 
@@ -55,8 +84,8 @@ def emd1d(u: jax.Array, v: jax.Array, p: float = 2,
     if u.shape[-1] != v.shape[-1]:
         return emd1d_general(u, v, p=p, require_sort=require_sort)
     if require_sort:
-        u = jnp.sort(u, axis=-1)
-        v = jnp.sort(v, axis=-1)
+        u = sort_lastdim(u)
+        v = sort_lastdim(v)
     return jnp.mean(jnp.abs(u - v) ** p, axis=-1)
 
 
@@ -69,8 +98,8 @@ def emd1d_general(u: jax.Array, v: jax.Array, p: float = 2,
     """
     n, m = u.shape[-1], v.shape[-1]
     if require_sort:
-        u = jnp.sort(u, axis=-1)
-        v = jnp.sort(v, axis=-1)
+        u = sort_lastdim(u)
+        v = sort_lastdim(v)
     u_cdf = (jnp.arange(1, n + 1, dtype=u.dtype)) / n
     v_cdf = (jnp.arange(1, m + 1, dtype=v.dtype)) / m
     grid = jnp.sort(jnp.concatenate(
@@ -105,17 +134,19 @@ def emd1d_circle(u: jax.Array, v: jax.Array, require_sort: bool = True) -> jax.A
     n, m = u.shape[-1], v.shape[-1]
     dtype = u.dtype
     if require_sort:
-        u = jnp.sort(u, axis=-1)
-        v = jnp.sort(v, axis=-1)
+        u = sort_lastdim(u)
+        v = sort_lastdim(v)
     uw = jnp.full((n,), 1.0 / n, dtype)
     vw = jnp.full((m,), 1.0 / m, dtype)
 
     values = jnp.concatenate([u, v], axis=-1)
     weights = jnp.concatenate(
         [jnp.broadcast_to(uw, u.shape), jnp.broadcast_to(-vw, v.shape)], axis=-1)
-    order = jnp.argsort(values, axis=-1)
-    values_sorted = jnp.take_along_axis(values, order, axis=-1)
-    cdf_diff = jnp.cumsum(jnp.take_along_axis(weights, order, axis=-1), axis=-1)
+    # joint pair-sort instead of argsort + take_along_axis: the gather is
+    # near-serial on the TPU lane dim and dominated this whole kernel
+    values_sorted, weights_sorted = jax.lax.sort_key_val(
+        values, weights, dimension=-1)
+    cdf_diff = jnp.cumsum(weights_sorted, axis=-1)
 
     # segments: [0, vs_0) with cdf 0 (wrap), [vs_k, vs_{k+1}), [vs_last, 1)
     lead = values_sorted[..., :1]                       # length of wrap segment
@@ -126,10 +157,9 @@ def emd1d_circle(u: jax.Array, v: jax.Array, require_sort: bool = True) -> jax.A
     delta = seg_ends - seg_starts                       # (..., n+m+1)
     cdf_ext = jnp.concatenate([zeros, cdf_diff], axis=-1)
 
-    # weighted median of cdf_ext with weights delta (the level median)
-    diff_order = jnp.argsort(cdf_ext, axis=-1)
-    cdf_sorted = jnp.take_along_axis(cdf_ext, diff_order, axis=-1)
-    w_sorted = jnp.take_along_axis(delta, diff_order, axis=-1)
+    # weighted median of cdf_ext with weights delta (the level median);
+    # again one pair-sort, no gathers
+    cdf_sorted, w_sorted = jax.lax.sort_key_val(cdf_ext, delta, dimension=-1)
     csum = jnp.cumsum(w_sorted, axis=-1) - 0.5
     csum = jnp.where(csum < 0, jnp.inf, csum)
     idx = jnp.argmin(csum, axis=-1)
@@ -301,10 +331,38 @@ def _cost_at_uniform(theta, u_sorted, v_sorted, p):
 # dynamic slices of whole contiguous rows stays on the fast path. The
 # doubled/padded arrays are loop-invariant and hoisted out of the bisection.
 
+_CHUNK = 16
+
+
 def _batch_slice(a: jax.Array, starts: jax.Array, size: int) -> jax.Array:
-    """Per-row contiguous slice: a (B, K), starts (B,) -> (B, size)."""
-    return jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice_in_dim(row, s, size))(a, starts)
+    """Per-row contiguous slice: a (B, K), starts (B,) -> (B, size).
+
+    Exact, gather-free: vmap(dynamic_slice) lowers to a per-row gather along
+    the lane dimension, which TPU executes near-serially (measured 14 ms for
+    a (12800, 384) -> (12800, 128) extraction — the single hottest op of the
+    whole SSW criterion). Instead decompose starts = 16 q + r and select
+    among static slices twice (~17 + 16 fused masked adds on the VPU): a
+    two-level one-hot, pure select/add, ~40x faster and autodiff transposes
+    to the matching masked scatter-add.
+    """
+    b, k = a.shape
+    nq = (k - size) // _CHUNK + 1
+    wide = size + _CHUNK - 1
+    pad = _CHUNK * (nq - 1) + wide - k
+    if pad > 0:
+        a = jnp.concatenate([a, jnp.zeros((b, pad), a.dtype)], axis=-1)
+    starts = jnp.clip(starts, 0, k - size)   # dynamic_slice's clamp semantics
+    q = starts // _CHUNK
+    r = starts - q * _CHUNK
+    acc = jnp.zeros((b, wide), a.dtype)
+    for qi in range(nq):
+        seg = jax.lax.slice_in_dim(a, _CHUNK * qi, _CHUNK * qi + wide, axis=1)
+        acc = acc + jnp.where((q == qi)[:, None], seg, 0)
+    out = jnp.zeros((b, size), a.dtype)
+    for ri in range(_CHUNK):
+        seg = jax.lax.slice_in_dim(acc, ri, ri + size, axis=1)
+        out = out + jnp.where((r == ri)[:, None], seg, 0)
+    return out
 
 
 def _dcost_uniform_eq(theta, pu, v3, n, p):
@@ -357,7 +415,7 @@ def _cost_at_uniform_eq(theta, u_sorted, v_sorted, p):
                    axis=-1)
 
 
-# -- p == 2, equal sizes: exact vertex minimum via FFT correlation ----------
+# -- p == 2, equal sizes: exact vertex minimum via DFT-matmul correlation ---
 #
 # For uniform equal-size measures the transport cost as a function of the
 # cut shift theta is PIECEWISE LINEAR: inside the cell tfrac in (w/n,
@@ -366,24 +424,90 @@ def _cost_at_uniform_eq(theta, u_sorted, v_sorted, p):
 # tripled target V3 = [v-1, v, v+1] (the wrap adjustments of every cut are
 # exactly the sliding windows of V3; j in 0..2n covers theta in [-1, 1]).
 # Hence min over theta = min_j A(j)/n — no bisection, and EXACT. For p = 2,
-# A(j) = sum u^2 + window-sum(V3^2)(j) - 2 corr(j) and corr(j) =
-# sum_i u_i V3[j+i] is one FFT cross-correlation — O(n log n) on the whole
-# (B, n) batch vs 32 x O(n) bisection steps with per-row dynamic slices.
+# A(j) = sum u^2 + window-sum(V3^2)(j) - 2 corr(j) with corr(j) =
+# sum_i u_i V3[j+i].
+#
+# corr has period-n structure: V3[k] = v[k mod n] + floor(k/n) - 1, so
+#   corr(j) = cc(j mod n) + S(clip(n-j)) + S(clip(2n-j)) - sum(u)
+# with cc the CIRCULAR cross-correlation of period n and S the suffix sums
+# of u (sorted ascending, so the wrapped entries are exactly a suffix). The
+# clipped suffix-sum indices are monotone, so both terms are flips/concats —
+# no gather. cc itself goes through an explicit length-n DFT as THREE SHARED
+# MATMULS (forward u, forward v, inverse of the cross-power): on TPU the
+# length-512 XLA rfft/irfft of the whole batch ran at ~40 GFLOP/s effective
+# (6 ms at (12800, 128)); the same correlation as (B, n) @ (n, n/2+1)
+# matmuls rides the MXU (~1 ms, HIGHEST precision = full f32). The A(j)
+# scan is selection-only: the returned cost is evaluated exactly (and
+# differentiably) at the chosen alignment.
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int):
+    """Real DFT / inverse-DFT matrices for period-n circular correlation.
+
+    Returns (Cr, Ci) (n, nf) forward and (Br, Bi) (nf, n) inverse such that
+    for P = conj(DFT(u)) * DFT(v) (computed via the identities below),
+    cc = Pr @ Br + Pi @ Bi is the circular correlation sum_i u_i v_{(i+r)%n}.
+
+    Returns NUMPY arrays: they are lru_cached across jit traces, and a cached
+    jnp array created inside one trace would leak that trace's tracer.
+    """
+    import numpy as np
+    nf = n // 2 + 1
+    k = np.arange(n)[:, None].astype(np.float64)
+    f = np.arange(nf)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * f / n
+    w = np.full((nf,), 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    Cr = np.cos(ang).astype(np.float32)                     # (n, nf)
+    Ci = (-np.sin(ang)).astype(np.float32)
+    Br = (w[:, None] * np.cos(ang.T) / n).astype(np.float32)  # (nf, n)
+    Bi = (-w[:, None] * np.sin(ang.T) / n).astype(np.float32)
+    return Cr, Ci, Br, Bi
+
+
+def _corr_windows(ud: jax.Array, vd: jax.Array) -> jax.Array:
+    """corr(j) = sum_i u_i V3[j+i] for j = 0..2n, V3 = [v-1, v, v+1].
+
+    ud, vd: (B, n) sorted ascending, gradients already stopped. Exact up to
+    f32 rounding (HIGHEST-precision MXU matmuls)."""
+    n = ud.shape[-1]
+    Cr, Ci, Br, Bi = _dft_mats(n)
+    dg = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    ur, ui = dg(ud, Cr), dg(ud, Ci)
+    vr, vi = dg(vd, Cr), dg(vd, Ci)
+    pr = ur * vr + ui * vi            # conj(u_hat) * v_hat
+    pi = ur * vi - ui * vr
+    cc = dg(pr, Br) + dg(pi, Bi)      # (B, n)
+
+    # shift terms: sum_i u_i (floor((j+i)/n) - 1)
+    csum = jnp.cumsum(ud, axis=-1)
+    total = csum[..., -1:]
+    s = jnp.concatenate([total, total - csum], axis=-1)       # S[k], k=0..n
+    s_rev = s[..., ::-1]                                      # S[n-j], j=0..n
+    t1 = jnp.concatenate(                                     # S(clip(n-j))
+        [s_rev, jnp.broadcast_to(total, (*total.shape[:-1], n))], axis=-1)
+    t2 = jnp.concatenate(                                     # S(clip(2n-j))
+        [jnp.zeros((*total.shape[:-1], n), ud.dtype), s_rev], axis=-1)
+    cc3 = jnp.concatenate([cc, cc, cc[..., :1]], axis=-1)
+    return cc3 + t1 + t2 - total
+
 
 def _circle_ot_p2_eq(u: jax.Array, v: jax.Array) -> jax.Array:
     """Exact W_2^2 on the circle, n == m, uniform weights. u, v: (B, n)
     sorted ascending in [0, 1). Returns (B,)."""
     b, n = u.shape
-    dtype = u.dtype
     v3 = jnp.concatenate([v - 1.0, v, v + 1.0], axis=-1)          # (B, 3n)
 
     ud = jax.lax.stop_gradient(u)
-    v3d = jax.lax.stop_gradient(v3)
-    lfft = 1 << (3 * n - 1).bit_length()                          # >= 3n
-    fu = jnp.fft.rfft(ud, lfft, axis=-1)
-    fv = jnp.fft.rfft(v3d, lfft, axis=-1)
-    corr = jnp.fft.irfft(fv * jnp.conj(fu), lfft, axis=-1)[..., :2 * n + 1]
+    vd = jax.lax.stop_gradient(v)
+    corr = _corr_windows(ud, vd)                                  # (B, 2n+1)
 
+    v3d = jax.lax.stop_gradient(v3)
     csum = jnp.cumsum(v3d * v3d, axis=-1)
     csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
     s2 = csum[..., n:3 * n + 1] - csum[..., :2 * n + 1]           # (B, 2n+1)
@@ -412,8 +536,8 @@ def circle_ot(u: jax.Array, v: jax.Array, p: float = 2, eps: float = 1e-6,
     (the reference likewise detaches tc), exact by the envelope theorem.
     """
     if require_sort:
-        u = jnp.sort(u, axis=-1)
-        v = jnp.sort(v, axis=-1)
+        u = sort_lastdim(u)
+        v = sort_lastdim(v)
     n, m = u.shape[-1], v.shape[-1]
 
     if n == m and p == 2:

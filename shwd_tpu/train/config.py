@@ -62,7 +62,12 @@ class TrainConfig:
     # 'mlp' = transform_to_sphere MLP (:334-350), 'encoder_flow' = the
     # mini-batch residual MSSW encoder+2-D-flow chart
     # (mini_batch_Residual_MSSW.py:392-409).
-    max_ssw: MaxSSWConfig = MaxSSWConfig()
+    # Default = the probe-tuned registration winner (benchmarks/probe_max_ssw.py
+    # batch-2 sweep: max_iter=1, phi_lr=9.2e-5 — the loss-class default of
+    # max_iter=10/phi_lr=0.01 destabilizes registration training; keep
+    # reference-default parity in MaxSSWConfig itself only).
+    max_ssw: MaxSSWConfig = MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=9.213233310357477e-05)
     max_ssw_chart: str = "mlp"
 
     # sinkhorn baseline knobs (--sinkhorn_eps / --sinkhorn_iter)

@@ -78,6 +78,7 @@ class FlowResult:
     eval_iters: np.ndarray
     interval_seconds: np.ndarray   # wall time per reporting interval
     steps_per_second: float
+    flops_per_step: float = float("nan")  # analytic (XLA cost analysis)
 
 
 def _make_point_opt(cfg: FlowConfig):
@@ -254,6 +255,9 @@ def run_flow(source: jax.Array, target: jax.Array, cfg: FlowConfig,
     n_intervals = cfg.num_iterations // cfg.eval_interval
     # warm-up compile outside the timed region
     _ = jax.block_until_ready(interval_jit(points, state, key)[0])
+    from ..utils.profiling import compiled_flops
+    flops_step = compiled_flops(interval_jit, points, state, key) \
+        / cfg.eval_interval
     for it in range(n_intervals):
         key, k_int = jax.random.split(key)
         t0 = time.perf_counter()
@@ -274,4 +278,5 @@ def run_flow(source: jax.Array, target: jax.Array, cfg: FlowConfig,
         eval_iters=np.asarray(iters),
         interval_seconds=times_arr,
         steps_per_second=cfg.eval_interval / max(times_arr.mean(), 1e-12),
+        flops_per_step=flops_step,
     )

@@ -124,6 +124,13 @@ class Trainer:
             self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_slices)
             self._batch_sharding = NamedSharding(self.mesh, P("data"))
             self._repl_sharding = NamedSharding(self.mesh, P())
+            if cfg.batch_size % self.mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must divide evenly over the "
+                    f"mesh 'data' axis ({self.mesh.shape['data']}); a training "
+                    "batch that falls back to replication would silently lose "
+                    "all data parallelism (the fallback exists only for "
+                    "eval's drop_remainder=False tail)")
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._eval)
         self._fused_epoch = jax.jit(self._epoch_scan)
@@ -236,14 +243,22 @@ class Trainer:
         # bank cache lives on the Trainer (not the dataset object): device
         # placement depends on this trainer's mesh, and mutating a shared
         # dataset would leak one trainer's placement into another's run
+        # cache key includes a cheap content fingerprint so a caller mutating
+        # dataset.sources/targets between fit() calls cannot silently train on
+        # stale on-device banks (ADVICE r3)
+        fp = (id(dataset), len(dataset),
+              dataset.sources.ctypes.data if hasattr(dataset.sources, "ctypes")
+              else id(dataset.sources),
+              dataset.targets.ctypes.data if hasattr(dataset.targets, "ctypes")
+              else id(dataset.targets))
         cache = getattr(self, "_bank_cache", None)
-        if cache is None or cache[0] is not dataset:
+        if cache is None or cache[0] != fp:
             src = jnp.asarray(dataset.sources)
             tgt = jnp.asarray(dataset.targets)
             if self.mesh is not None:
                 src = jax.device_put(src, self._repl_sharding)
                 tgt = jax.device_put(tgt, self._repl_sharding)
-            self._bank_cache = (dataset, (src, tgt))
+            self._bank_cache = (fp, (src, tgt))
         bank_src, bank_tgt = self._bank_cache[1]
         state, mean_loss = self._fused_epoch(state, bank_src, bank_tgt,
                                              idx_mat, keys)

@@ -103,3 +103,73 @@ class ThroughputMeter:
         p.parent.mkdir(parents=True, exist_ok=True)
         with open(p, "a") as f:
             f.write(json.dumps({"time": time.time(), **self.summary()}) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# FLOP accounting / MFU (VERDICT r3 #2)
+#
+# The reference has no FLOP accounting at all (its only counter is wall-clock
+# per epoch, train_W_COS.py:192-196); every speed claim would otherwise be
+# relative to its CPU loop — a bar a TPU clears while idle. These helpers
+# attach an analytic FLOP count (XLA's compiled cost analysis) and an MFU
+# figure (achieved FLOP/s vs chip peak) to any jitted step so bench rows can
+# report utilization, not just steps/s.
+# ---------------------------------------------------------------------------
+
+# Peak dense-matmul FLOP/s per chip by device kind, bf16 (the MFU convention
+# denominator). f32 work runs at ~1/4 of this on the MXU; VPU elementwise is
+# far lower — MFU here is utilization of the chip's headline peak.
+_PEAK_FLOPS_BY_KIND = (
+    ("v5 lite", 197e12),     # TPU v5e: 197 TFLOP/s bf16
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v4", 275e12),
+    ("v6", 918e12),          # trillium
+)
+_DEFAULT_PEAK = 197e12
+
+
+def device_peak_flops(device=None) -> float:
+    """Peak bf16 FLOP/s of ``device`` (default: first visible device)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_FLOPS_BY_KIND:
+        if sub in kind:
+            return peak
+    return _DEFAULT_PEAK
+
+
+def compiled_flops(fn, *args, **kwargs) -> float:
+    """Analytic FLOPs of ONE call of ``fn`` at these (abstract) args.
+
+    ``fn`` may be a plain function or an existing jitted function; XLA's
+    compiled-HLO cost analysis provides the count (convolution/dot FLOPs plus
+    elementwise, post-fusion). Returns NaN when the backend does not expose
+    cost analysis.
+    """
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+    except Exception:
+        return float("nan")
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    if not cost:
+        return float("nan")
+    return float(cost.get("flops", float("nan")))
+
+
+def mfu(flops_per_step: float, seconds_per_step: float, device=None) -> dict:
+    """Achieved FLOP/s + model-FLOP utilization vs chip peak.
+
+    Returns {"gflops_per_step", "achieved_gflops_per_s", "mfu", "peak_tflops"}
+    — the fields every bench row carries (BENCH_r04 onward).
+    """
+    peak = device_peak_flops(device)
+    achieved = flops_per_step / seconds_per_step if seconds_per_step > 0 else 0.0
+    return {
+        "gflops_per_step": flops_per_step / 1e9,
+        "achieved_gflops_per_s": achieved / 1e9,
+        "mfu": achieved / peak,
+        "peak_tflops": peak / 1e12,
+    }
