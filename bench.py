@@ -46,10 +46,18 @@ def main():
 
     res = run_flow(source, target, cfg)   # default eval_fn = exact W2
 
+    from shwd_tpu.utils.flops import flow_step_flops
     from shwd_tpu.utils.profiling import mfu
 
     sec_per_iter = float(np.mean(res.interval_seconds)) / cfg.eval_interval
-    util = mfu(res.flops_per_step, sec_per_iter)
+    # analytic model FLOPs (utils/flops.py): XLA cost_analysis undercounts
+    # while/scan bodies (counts each op once, not per trip)
+    flops_step = flow_step_flops(
+        n_points, layers=cfg.shwd_layers, solver=cfg.shwd_solver,
+        max_iter=cfg.shwd_max_iter, sink_iters=cfg.hybrid_warmup_iters,
+        sink_scales=cfg.hybrid_warmup_scales, auction_sweeps=128,
+        num_projections=cfg.num_projections)
+    util = mfu(flops_step, sec_per_iter)
     result = {
         "metric": "shwd_flow_step_time_1200pts",
         "value": res.steps_per_second,

@@ -36,7 +36,8 @@ from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
 from shwd_tpu.data.transforms import RegistrationBatch
 from shwd_tpu.losses import SHWDConfig, TransportConfig
 from shwd_tpu.train import TrainConfig, Trainer
-from shwd_tpu.utils.profiling import compiled_flops, mfu
+from shwd_tpu.utils.flops import wcos_train_step_flops
+from shwd_tpu.utils.profiling import mfu
 
 ROWS = [
     ("ssw_light", dict(B=128, N=128, solver="ssw", layers=1, pcr=2)),
@@ -96,13 +97,14 @@ def run(name, B, N, solver, layers, pcr, ks=(4, 12, 20), reps=3):
     ys = np.array([best[k] for k in ks])
     slope, intercept = np.polyfit(xs, ys, 1)
     step_s = float(slope)
-    # analytic FLOPs of one train step (XLA compiled cost analysis) -> MFU
-    bidx = jnp.arange(B) % len(ds)
-    batch = RegistrationBatch(
-        target=bank_tgt[bidx], source=bank_src[bidx],
-        igt_rotation=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
-        igt_translation=jnp.zeros((B, 3)))
-    flops_step = compiled_flops(trainer._train_step, state, batch, train=True)
+    # analytic FLOPs of one train step (shwd_tpu.utils.flops — XLA's
+    # cost_analysis undercounts while/scan bodies) -> MFU
+    tp = cfg.shwd.transport
+    flops_step = wcos_train_step_flops(
+        B, N, pcr_iterations=pcr, layers=layers, solver=solver,
+        num_projections=tp.num_projections,
+        sink_iters=tp.num_iters, sink_scales=tp.num_scales,
+        auction_sweeps=128, max_iter=cfg.shwd.max_iter)
     row = {"config": name, "batch": B, "points": N, "solver": solver,
            "flow_layers": layers, "pcr_iters": pcr,
            "ms_per_step": step_s * 1e3, "clouds_per_second": B / step_s,

@@ -346,20 +346,23 @@ def _batch_slice(a: jax.Array, starts: jax.Array, size: int) -> jax.Array:
     to the matching masked scatter-add.
     """
     b, k = a.shape
-    nq = (k - size) // _CHUNK + 1
-    wide = size + _CHUNK - 1
-    pad = _CHUNK * (nq - 1) + wide - k
+    # chunk ~ sqrt(start range) minimizes total masked adds (nq + chunk)
+    span = max(k - size, 1)
+    chunk = max(_CHUNK, 1 << (span.bit_length() // 2))
+    nq = (k - size) // chunk + 1
+    wide = size + chunk - 1
+    pad = chunk * (nq - 1) + wide - k
     if pad > 0:
         a = jnp.concatenate([a, jnp.zeros((b, pad), a.dtype)], axis=-1)
     starts = jnp.clip(starts, 0, k - size)   # dynamic_slice's clamp semantics
-    q = starts // _CHUNK
-    r = starts - q * _CHUNK
+    q = starts // chunk
+    r = starts - q * chunk
     acc = jnp.zeros((b, wide), a.dtype)
     for qi in range(nq):
-        seg = jax.lax.slice_in_dim(a, _CHUNK * qi, _CHUNK * qi + wide, axis=1)
+        seg = jax.lax.slice_in_dim(a, chunk * qi, chunk * qi + wide, axis=1)
         acc = acc + jnp.where((q == qi)[:, None], seg, 0)
     out = jnp.zeros((b, size), a.dtype)
-    for ri in range(_CHUNK):
+    for ri in range(chunk):
         seg = jax.lax.slice_in_dim(acc, ri, ri + size, axis=1)
         out = out + jnp.where((r == ri)[:, None], seg, 0)
     return out
