@@ -21,9 +21,12 @@ from shwd_tpu.train.hpo import create_study, registration_hpo_objective
 
 n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+# argv[3]: study/artifact name — 'hpo_study_80ep' is the discriminative run
+# (VERDICT r4 #6: >=60-epoch trials so lr/wd separate from noise)
+name = sys.argv[3] if len(sys.argv) > 3 else "hpo_smoke"
 
 base = TrainConfig(
-    experiment="hpo_smoke",
+    experiment=name,
     log_dir="log",
     criterion="cd",
     dataset=DatasetConfig(
@@ -35,7 +38,7 @@ base = TrainConfig(
 )
 
 here = os.path.dirname(os.path.abspath(__file__))
-study = create_study("cd_lr_wd", storage=os.path.join(here, "hpo_smoke.jsonl"),
+study = create_study("cd_lr_wd", storage=os.path.join(here, name + ".jsonl"),
                      load_if_exists=True, seed=0)
 t0 = time.perf_counter()
 study.optimize(registration_hpo_objective(base, num_epochs=epochs),
@@ -51,6 +54,6 @@ out = {
     "best_params": study.best_params,
     "all_values": [t["value"] for t in study.completed],
 }
-with open(os.path.join(here, "hpo_smoke.json"), "w") as f:
+with open(os.path.join(here, name + ".json"), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out))

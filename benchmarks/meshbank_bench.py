@@ -1,0 +1,101 @@
+"""Production mesh-pipeline training: OFF bank -> preprocess -> fit -> eval.
+
+VERDICT r4 #4: all prior accuracy evidence used the procedural shape bank
+directly; this run drives the PRODUCTION ModelNet chain end to end —
+``preprocess_modelnet`` (OFF parse, area-weighted triangle sampling,
+NormalizeScale; Data_set_maker.py:276-290 semantics) -> ``RegistrationDataset``
+-> ``Trainer.fit`` -> ``evaluate`` on the held-out mesh test split — from the
+~100-mesh committed-generator bank (benchmarks/make_mesh_bank.py).
+
+Usage: python benchmarks/meshbank_bench.py [N=128] [epochs=300] [solver]
+Appends a row to benchmarks/registration_tpu.json (criterion
+'w_cos_meshbank_<N>') including the npz cache hash.
+"""
+import hashlib
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+from shwd_tpu.losses import SHWDConfig, TransportConfig
+from shwd_tpu.train import TrainConfig, Trainer
+from shwd_tpu.train.evaluate import evaluate
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+SOLVER = sys.argv[3] if len(sys.argv) > 3 else ("ssw" if N >= 512 else "sinkhorn")
+
+ROOT = "mesh_bank"
+CACHE = "meshbank_cache"
+
+if not Path(ROOT).exists():
+    from benchmarks.make_mesh_bank import main as gen
+    gen(ROOT)
+
+shwd = SHWDConfig(
+    transport=TransportConfig(
+        cost="geodesic" if SOLVER == "ssw" else "lp", p=2.0, solver=SOLVER),
+    max_iter=1, lam=1.3111961119405346e-05, phi_lr=9.213233310357477e-05,
+    phi_weight_decay=1.4096013153858628e-08)
+
+cfg = TrainConfig(
+    experiment=f"meshbank_w_cos_{N}",
+    log_dir="log",
+    criterion="w_cos",
+    shwd=shwd,
+    dataset=DatasetConfig(
+        source_point_num=N, target_point_num=N,
+        modelnet_root=ROOT, cache_dir=CACHE,
+        transform=TransformConfig(noise_sigma=0.02)),
+    num_epochs=EPOCHS,
+    batch_size=32,                   # 100-mesh bank: train split is 64 items
+    pcr_iteration_num=3,
+    nan_guard=False,
+)
+
+tr = Trainer(cfg)
+ds = RegistrationDataset(cfg.dataset, "train")
+print(f"bank: {len(ds)} meshes at N={N} via {ROOT} (production OFF chain)",
+      flush=True)
+t0 = time.perf_counter()
+res = tr.fit(ds, verbose=True)
+dt = time.perf_counter() - t0
+
+ev = evaluate(cfg, checkpoint=os.path.join("log", cfg.experiment, "models",
+                                           "best_rot_error_snap"),
+              split="test")
+
+cache_file = Path(CACHE) / f"modelnet10_{N}_train.npz"
+sha = hashlib.sha256(cache_file.read_bytes()).hexdigest()[:16] \
+    if cache_file.exists() else None
+
+h = res["history"]
+row = {
+    "criterion": f"w_cos_meshbank_{N}",
+    "pipeline": "preprocess_modelnet(OFF)->RegistrationDataset->fit->evaluate",
+    "mesh_bank": f"{ROOT} (benchmarks/make_mesh_bank.py, 100 meshes)",
+    "cache_npz_sha256_16": sha,
+    "solver": SOLVER,
+    "point_num": N,
+    "epochs": EPOCHS,
+    "num_synthetic": None,
+    "total_s": dt, "s_per_epoch": dt / EPOCHS,
+    "first_rot_error": h[0]["rot_error"],
+    "best_rot_error": res["best"]["rot"],
+    "best_trans_error": res["best"]["trans"],
+    "final_rot_error": h[-1]["rot_error"],
+    "test_mean_rot_error": ev.mean_rot_error,
+    "test_mean_trans_error": ev.mean_trans_error,
+    "rot_curve_every10": [r["rot_error"] for r in h[::10]],
+}
+print(json.dumps(row), flush=True)
+out_path = Path("benchmarks/registration_tpu.json")
+existing = json.loads(out_path.read_text()) if out_path.exists() else []
+existing = [e for e in existing if e["criterion"] != row["criterion"]]
+existing.append(row)
+out_path.write_text(json.dumps(existing, indent=1))
+print("DONE meshbank", N)

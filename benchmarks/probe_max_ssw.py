@@ -38,6 +38,16 @@ VARIANTS = {
         num_projections=256, max_iter=1, phi_lr=9.2e-5)),
     "I_enc_mb32_lr1e-4": dict(chart="encoder_flow", cfg=MaxSSWConfig(
         num_projections=100, max_iter=1, phi_lr=1e-4, minibatch=32)),
+    # batch 3 (r4, VERDICT #8): sweep projections + chart AT the winning lr
+    # (9.2e-5, variant E/H family) — the SSW kernel rebuild made large L
+    # cheap (8.3 ms/step at L=100), so projection-variance reduction is now
+    # nearly free
+    "J_mlp_lr9e-5_L512": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=512, max_iter=1, phi_lr=9.2e-5)),
+    "K_enc_lr9e-5_it1": dict(chart="encoder_flow", cfg=MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=9.2e-5)),
+    "L_mlp_lr3e-4_L256": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=256, max_iter=1, phi_lr=3e-4)),
 }
 
 

@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 serial TPU job queue. One job at a time (single tunneled chip);
+# each stage under its own timeout so a tunnel stall can't block the chain
+# (see memory: tpu-tunnel-stalls). Evidence is merge-written per stage.
+cd /root/repo || exit 1
+log() { echo "=== $(date +%H:%M:%S) $* ==="; }
+
+log "A: solver parity at N=1024"
+timeout 2400 python -u benchmarks/solver_parity_1024.py
+
+log "B: w_cos N=1024 ssw training (400 epochs)"
+timeout 2400 python -u benchmarks/train_bench.py w_cos 400 benchmarks/registration_tpu.json 1024 ssw
+
+log "C: meshbank production chain N=128"
+timeout 1800 python -u benchmarks/meshbank_bench.py 128 300
+
+log "D: meshbank production chain N=1024 (ssw)"
+timeout 2400 python -u benchmarks/meshbank_bench.py 1024 300 ssw
+
+log "E: cd retrain 300"
+timeout 3600 python -u benchmarks/train_bench.py cd 300
+
+log "F: sinkhorn retrain 300"
+timeout 3600 python -u benchmarks/train_bench.py sinkhorn 300
+
+log "G: w1_cos retrain 200"
+timeout 3600 python -u benchmarks/train_bench.py w1_cos 200
+
+log "H: pseudo_w_cos retrain 200"
+timeout 3600 python -u benchmarks/train_bench.py pseudo_w_cos 200
+
+log "I: held-out eval curves for the four criteria"
+for exp in bench_cd bench_sinkhorn bench_w1_cos bench_pseudo_w_cos; do
+  timeout 900 python -u benchmarks/eval_checkpoint.py "$exp"
+done
+
+log "J: max_ssw batch-3 probes (60 epochs)"
+timeout 3600 python -u benchmarks/probe_max_ssw.py 60 J_mlp_lr9e-5_L512 K_enc_lr9e-5_it1 L_mlp_lr3e-4_L256
+
+log "K: flagship w_cos to the canonical 2000 epochs"
+timeout 9000 python -u benchmarks/train_bench.py w_cos 2000
+
+log "L: flagship held-out eval"
+timeout 900 python -u benchmarks/eval_checkpoint.py bench_w_cos
+
+log "M: discriminative HPO study (80-epoch trials)"
+timeout 5400 python -u benchmarks/hpo_smoke.py 14 80 hpo_study_80ep
+
+log "queue done"

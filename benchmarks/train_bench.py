@@ -17,17 +17,33 @@ import time
 from pathlib import Path
 
 from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+from shwd_tpu.losses import SHWDConfig, TransportConfig
 from shwd_tpu.losses.ssw_loss import MaxSSWConfig
 from shwd_tpu.train import TrainConfig, Trainer
 
 
-def run(criterion: str, epochs: int, num_synthetic: int = 2048) -> dict:
+def run(criterion: str, epochs: int, num_synthetic: int = 2048,
+        point_num: int = 128, solver: str | None = None,
+        tag: str = "") -> dict:
+    # solver override (VERDICT r4 #3): N>=512 trains on the evidenced 'ssw'
+    # policy (benchmarks/solver_parity_1024.json) — the dense auction/hybrid
+    # exact path blows up with N
+    shwd = TrainConfig.__dataclass_fields__["shwd"].default
+    if solver is not None:
+        shwd = SHWDConfig(
+            transport=TransportConfig(
+                cost="geodesic" if solver == "ssw" else "lp",
+                p=2.0, solver=solver),
+            max_iter=1, lam=1.3111961119405346e-05,
+            phi_lr=9.213233310357477e-05,
+            phi_weight_decay=1.4096013153858628e-08)
     cfg = TrainConfig(
-        experiment=f"bench_{criterion}",
+        experiment=f"bench_{criterion}{tag}",
         log_dir="log",
         criterion=criterion,
+        shwd=shwd,
         dataset=DatasetConfig(
-            source_point_num=128, target_point_num=128,
+            source_point_num=point_num, target_point_num=point_num,
             num_synthetic=num_synthetic,
             # composite (chiral) shapes: pose is identifiable, like
             # ModelNet objects; the symmetric primitives put a ~25-deg
@@ -51,7 +67,8 @@ def run(criterion: str, epochs: int, num_synthetic: int = 2048) -> dict:
     dt = time.perf_counter() - t0
     h = res["history"]
     return {
-        "criterion": criterion, "epochs": epochs,
+        "criterion": criterion + tag, "epochs": epochs,
+        "point_num": point_num, "solver": solver,
         "num_synthetic": num_synthetic,
         "total_s": dt, "s_per_epoch": dt / epochs,
         "first_rot_error": h[0]["rot_error"],
@@ -69,12 +86,15 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     out_path = Path(sys.argv[3] if len(sys.argv) > 3
                     else "benchmarks/registration_tpu.json")
-    r = run(criterion, epochs)
+    point_num = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    solver = sys.argv[5] if len(sys.argv) > 5 else None
+    tag = f"_{point_num}_{solver}" if len(sys.argv) > 4 else ""
+    r = run(criterion, epochs, point_num=point_num, solver=solver, tag=tag)
     print(json.dumps(r))
     existing = []
     if out_path.exists():
         existing = json.loads(out_path.read_text())
-        existing = [e for e in existing if e["criterion"] != criterion]
+        existing = [e for e in existing if e["criterion"] != criterion + tag]
     existing.append(r)
     with open(out_path, "w") as f:
         json.dump(existing, f, indent=1)
