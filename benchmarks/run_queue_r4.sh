@@ -47,3 +47,7 @@ log "M: discriminative HPO study (80-epoch trials)"
 timeout 5400 python -u benchmarks/hpo_smoke.py 14 80 hpo_study_80ep
 
 log "queue done"
+
+log "N: solver parity at N=1024 (rerun after pair-construction fix)"
+timeout 2400 python -u benchmarks/solver_parity_1024.py
+log "queue really done"

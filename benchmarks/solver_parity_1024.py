@@ -37,16 +37,21 @@ PAIRS = 24
 
 
 def main():
+    # held-out clouds through the PRODUCTION transform (pose + noise), so the
+    # compared pairs are exactly what the training criterion sees (the raw
+    # source/target banks are identical when point counts match)
+    tcfg = TransformConfig(noise_sigma=0.02)
     ds = RegistrationDataset(
         DatasetConfig(source_point_num=N, target_point_num=N,
-                      num_synthetic=2 * PAIRS, synthetic_kinds=("composite",),
-                      cache_dir="modelnet_cache",
-                      transform=TransformConfig(noise_sigma=0.02)),
+                      num_synthetic=4 * PAIRS, synthetic_kinds=("composite",),
+                      cache_dir="modelnet_cache", transform=tcfg),
         "test")
-    src = jnp.asarray(ds.sources[:PAIRS])
-    tgt = jnp.asarray(ds.targets[:PAIRS])
-    src = src - src.mean(axis=1, keepdims=True)
-    tgt = tgt - tgt.mean(axis=1, keepdims=True)
+    from shwd_tpu.data.transforms import make_registration_batch
+    batch = make_registration_batch(
+        jax.random.PRNGKey(42), jnp.asarray(ds.targets[:PAIRS]),
+        jnp.asarray(ds.sources[:PAIRS]), tcfg)
+    src = batch.source - batch.source.mean(axis=1, keepdims=True)
+    tgt = batch.target - batch.target.mean(axis=1, keepdims=True)
 
     rows = {}
     # exact (hybrid) — one pair at a time to bound auction buffers

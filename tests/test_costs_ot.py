@@ -250,3 +250,75 @@ def test_ssw_differentiable(rng):
 
     g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+# -- round-4 kernel components (gather-free hot path) ------------------------
+
+def test_batch_slice_matches_window_and_clamps(rng):
+    from shwd_tpu.ops.ot1d import _batch_slice
+    for (k, size) in ((384, 128), (771, 257), (130, 128), (128, 128)):
+        b = 23
+        a = rng.random((b, k)).astype(np.float32)
+        # include out-of-range starts: dynamic_slice clamp semantics
+        st = rng.integers(-3, k - size + 4, b)
+        out = np.asarray(_batch_slice(jnp.asarray(a), jnp.asarray(st), size))
+        stc = np.clip(st, 0, k - size)
+        ref = np.stack([a[i, stc[i]:stc[i] + size] for i in range(b)])
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_batch_slice_grad_is_masked_scatter(rng):
+    from shwd_tpu.ops.ot1d import _batch_slice
+    a = rng.random((5, 48)).astype(np.float32)
+    st = np.array([0, 3, 16, 31, 20])
+    g = jax.grad(lambda x: jnp.sum(_batch_slice(x, jnp.asarray(st), 16) ** 2))(
+        jnp.asarray(a))
+    ref = np.zeros_like(a)
+    for i in range(5):
+        ref[i, st[i]:st[i] + 16] = 2 * a[i, st[i]:st[i] + 16]
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-6)
+
+
+def test_sort_lastdim_value_and_vjp(rng):
+    from shwd_tpu.ops.ot1d import sort_lastdim
+    x = rng.random((7, 33)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(sort_lastdim(jnp.asarray(x))),
+                                  np.sort(x, -1))
+    # VJP == inverse-permutation of cotangent (compare vs jnp.sort autodiff)
+    ct = rng.random((7, 33)).astype(np.float32)
+    _, vjp = jax.vjp(sort_lastdim, jnp.asarray(x))
+    _, vjp_ref = jax.vjp(lambda v: jnp.sort(v, axis=-1), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(vjp(jnp.asarray(ct))[0]),
+                               np.asarray(vjp_ref(jnp.asarray(ct))[0]),
+                               rtol=1e-6)
+
+
+def test_corr_windows_matches_direct(rng):
+    """The DFT-matmul correlation (period-n cc + suffix-sum shift terms)
+    equals the direct sliding-window correlation against V3 = [v-1, v, v+1]."""
+    from shwd_tpu.ops.ot1d import _corr_windows
+    for n in (16, 64, 128):
+        u = np.sort(rng.random((9, n)).astype(np.float32), -1)
+        v = np.sort(rng.random((9, n)).astype(np.float32), -1)
+        v3 = np.concatenate([v - 1, v, v + 1], -1)
+        ref = np.stack([np.einsum("bi,bi->b", u.astype(np.float64),
+                                  v3[:, j:j + n].astype(np.float64))
+                        for j in range(2 * n + 1)], -1)
+        out = np.asarray(_corr_windows(jnp.asarray(u), jnp.asarray(v)))
+        # f32 accumulation noise ~4e-5 abs; corr feeds an argmin whose
+        # selected vertex is then evaluated exactly, so abs tolerance is
+        # the right check here
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_circle_ot_p2_eq_is_exact_vertex_min(rng):
+    from shwd_tpu.ops.ot1d import _circle_ot_p2_eq
+    n = 64
+    u = np.sort(rng.random((17, n)).astype(np.float32), -1)
+    v = np.sort(rng.random((17, n)).astype(np.float32), -1)
+    v3 = np.concatenate([v - 1, v, v + 1], -1)
+    a = np.stack([np.sum((u - v3[:, j:j + n]) ** 2, -1)
+                  for j in range(2 * n + 1)], -1)
+    ref = a.min(-1) / n
+    out = np.asarray(_circle_ot_p2_eq(jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-9)
