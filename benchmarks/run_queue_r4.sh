@@ -51,3 +51,8 @@ log "queue done"
 log "N: solver parity at N=1024 (rerun after pair-construction fix)"
 timeout 2400 python -u benchmarks/solver_parity_1024.py
 log "queue really done"
+
+log "O: reconstruct + eval the N=1024 run if stage B was timeout-killed"
+timeout 300 python -u benchmarks/reconstruct_row.py bench_w_cos_1024_ssw w_cos_1024_ssw 1024 ssw
+timeout 1200 python -u benchmarks/eval_checkpoint.py bench_w_cos_1024_ssw
+log "queue fully done"

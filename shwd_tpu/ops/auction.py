@@ -150,8 +150,18 @@ def _hybrid_assignment(cost, eps_final, sink_eps=1e-5, sink_iters=100,
     plan mixes (the failure mode that costs synchronous auction ~50k sweeps
     from cold prices at awkward cost spreads)."""
     from .sinkhorn import emd2_approx
-    _, f, g = emd2_approx(cost, eps=sink_eps, num_iters=sink_iters,
-                          num_scales=sink_scales, return_potentials=True)
+    from .sinkhorn_pallas import emd2_warmup_pallas, warmup_supported
+    # warm-up duals need no gradient (exactness comes from the auction), so
+    # the VMEM-resident Pallas schedule replaces ~2*iters HBM sweeps of the
+    # XLA loop whenever one (N, M) problem fits on-chip
+    if (jax.default_backend() == "tpu" and cost.ndim == 3
+            and warmup_supported(cost.shape[-2], cost.shape[-1])):
+        _, f, g = emd2_warmup_pallas(
+            jax.lax.stop_gradient(cost), eps=sink_eps,
+            num_iters=sink_iters, num_scales=sink_scales)
+    else:
+        _, f, g = emd2_approx(cost, eps=sink_eps, num_iters=sink_iters,
+                              num_scales=sink_scales, return_potentials=True)
     prices0 = jax.lax.stop_gradient(-g)      # benefit = -C; dual price ~ g
     # start eps well below the cost range (the warm prices carry the coarse
     # structure) but high enough to repair unconverged duals on far clouds:

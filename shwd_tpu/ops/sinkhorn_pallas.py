@@ -31,6 +31,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .costs import cost_matrix
 from .sinkhorn import emd2_approx
@@ -279,3 +281,160 @@ def emd2_points(x: jax.Array, y: jax.Array, kind: str = "lp", p: float = 2.0,
                                interpret)
     c = cost_matrix(x, y, kind, p)
     return emd2_approx(c, eps=eps, num_iters=num_iters, num_scales=num_scales)
+
+
+# ---------------------------------------------------------------------------
+# Large-N single-problem warm-up kernel (hybrid exact-EMD path)
+#
+# The fused kernel above needs ~5 live (TB, N, M) buffers, which caps it at
+# small N. The hybrid auction's Sinkhorn warm-up only needs the DUALS of one
+# (or few) big problems (B=1, N=1200 for the flow bench; B<=32, N=1024 for
+# registration eval) and no gradient (the duals warm-start the auction under
+# stop_gradient; exactness comes from the auction itself). This kernel keeps
+# ONE (N, M) cost block VMEM-resident and streams the logsumexp updates over
+# column blocks, so the working set is c + one (N, MBLK) temporary — the
+# whole eps-scaled schedule runs with zero HBM traffic per iteration,
+# replacing ~2*iters full-matrix HBM sweeps of the XLA path.
+# ---------------------------------------------------------------------------
+
+def warmup_supported(n: int, m: int) -> bool:
+    m_pad = _round_up(m, 128)
+    n_pad = _round_up(n, 8)
+    return (n_pad * m_pad + n_pad * 256) * 4 <= 13 * 1024 * 1024
+
+
+def _make_warmup_kernel(n: int, m: int, m_pad: int, num_iters: int,
+                        num_scales: int, eps_final: float, mblk: int):
+    log_a = -math.log(n)
+    log_b = -math.log(m)
+    nblk = m_pad // mblk
+    log_et = math.log(eps_final)
+
+    def kernel(c_ref, val_ref, f_ref, g_ref):
+        # refs carry the leading grid-block dim: c (1, n, m_pad),
+        # f (1, n, 128), g (1, 8, m_pad), val (1, 1) SMEM
+
+        def cblk(b):
+            return c_ref[0, :, pl.ds(b * mblk, mblk)]   # (n, mblk)
+
+        def colmask(b):
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, mblk), 1) + b * mblk
+            return idx < m                              # (1, mblk)
+
+        # eps0 = max |c| over valid columns (padded cols carry +BIG)
+        def maxblk(b, acc):
+            cb = jnp.where(colmask(b), jnp.abs(cblk(b)), -1e30)
+            return jnp.maximum(acc, jnp.max(cb))
+
+        c_max = jax.lax.fori_loop(0, nblk, maxblk, jnp.float32(-1e30))
+        log_e0 = jnp.log(jnp.maximum(c_max, 1e-30))
+
+        g_ref[...] = jnp.zeros_like(g_ref)
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+        def eps_at(s):
+            r = s.astype(jnp.float32) / max(num_scales - 1, 1)
+            return jnp.exp(log_e0 * (1.0 - r) + jnp.float32(log_et) * r)
+
+        def scale_body(s, _):
+            e = eps_at(s)
+            e_inv = 1.0 / e
+
+            def body(i, _):
+                # f-update: streaming logsumexp over column blocks
+                def fblk(b, carry):
+                    m_run, s_run = carry
+                    gb = g_ref[0, 0:1, pl.ds(b * mblk, mblk)]
+                    z = (gb - cblk(b)) * e_inv + log_b  # (n, mblk)
+                    z = jnp.where(colmask(b), z, -1e30)
+                    bm = jnp.max(z, axis=1, keepdims=True)
+                    m_new = jnp.maximum(m_run, bm)
+                    s_run = (s_run * jnp.exp(m_run - m_new)
+                             + jnp.sum(jnp.exp(z - m_new), axis=1,
+                                       keepdims=True))
+                    return m_new, s_run
+
+                m_run = jnp.full((n, 1), -1e30, jnp.float32)
+                s_run = jnp.zeros((n, 1), jnp.float32)
+                m_run, s_run = jax.lax.fori_loop(0, nblk, fblk,
+                                                 (m_run, s_run))
+                f = -e * (m_run + jnp.log(jnp.maximum(s_run, 1e-38)))
+                f_ref[0, :, 0:1] = f
+
+                # g-update: per-column, block-local
+                def gblk(b, _):
+                    z = (f - cblk(b)) * e_inv + log_a   # (n, mblk)
+                    bm = jnp.max(z, axis=0, keepdims=True)
+                    sb = jnp.sum(jnp.exp(z - bm), axis=0, keepdims=True)
+                    gb = -e * (bm + jnp.log(jnp.maximum(sb, 1e-38)))
+                    gb = jnp.where(colmask(b), gb, -1e30)
+                    g_ref[0, 0:1, pl.ds(b * mblk, mblk)] = gb
+                    return 0
+
+                jax.lax.fori_loop(0, nblk, gblk, 0)
+                return 0
+
+            jax.lax.fori_loop(0, num_iters, body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, num_scales, scale_body, 0)
+
+        # <P, C> at the final temperature
+        e_fin = eps_at(jnp.asarray(num_scales - 1))
+        e_inv = 1.0 / e_fin
+        f = f_ref[0, :, 0:1]
+
+        def vblk(b, acc):
+            cb = cblk(b)
+            gb = g_ref[0, 0:1, pl.ds(b * mblk, mblk)]
+            lp = (f + gb - cb) * e_inv + (log_a + log_b)
+            p = jnp.where(colmask(b), jnp.exp(lp), 0.0)
+            return acc + jnp.sum(p * cb)
+
+        val = jax.lax.fori_loop(0, nblk, vblk, jnp.float32(0.0))
+        val_ref[0, 0] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "num_iters", "num_scales",
+                                             "interpret"))
+def emd2_warmup_pallas(cost: jax.Array, eps: float = 1e-5,
+                       num_iters: int = 40, num_scales: int = 8,
+                       interpret: bool = False):
+    """Annealed log-Sinkhorn duals for big single problems, VMEM-resident.
+
+    cost: (B, N, M) -> (val (B,), f (B, N), g (B, M)). Forward-only (no
+    gradient path — callers hold it under stop_gradient; the hybrid solver's
+    value/grad comes from the exact auction assignment). Numerically matches
+    ops.sinkhorn.emd2_approx to f32 tolerance (same schedule, same updates).
+    """
+    b, n, m = cost.shape
+    m_pad = _round_up(m, 128)
+    mblk = 256 if m_pad % 256 == 0 else 128
+    if m_pad > m:
+        pad = jnp.full((b, n, m_pad - m), 1e30, cost.dtype)
+        cost_p = jnp.concatenate([cost.astype(jnp.float32), pad], axis=-1)
+    else:
+        cost_p = cost.astype(jnp.float32)
+
+    kernel = _make_warmup_kernel(n, m, m_pad, num_iters, num_scales, eps,
+                                 mblk)
+    val, f, g = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, m_pad), lambda i: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, m_pad), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cost_p)
+    return val[:, 0], f[:, :, 0], g[:, 0, :m]

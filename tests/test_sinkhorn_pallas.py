@@ -102,3 +102,24 @@ def test_emd2_points_dispatcher_fallback(rng):
     want = np.asarray(emd2_approx(cost_matrix(x, y, "lp", 2.0),
                                   eps=5e-3, num_iters=40, num_scales=3))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_warmup_kernel_matches_xla_per_item(rng):
+    """emd2_warmup_pallas (streaming VMEM kernel, interpret mode) matches the
+    XLA annealed schedule per item — per-item eps0, incl. lane padding."""
+    from shwd_tpu.ops.sinkhorn_pallas import emd2_warmup_pallas
+    for (b, n, m) in ((1, 40, 40), (2, 24, 40), (1, 48, 33)):
+        x = rng.normal(size=(b, n, 3)).astype(np.float32)
+        y = rng.normal(size=(b, m, 3)).astype(np.float32)
+        c = jnp.asarray(
+            np.sum((x[:, :, None, :] - y[:, None, :, :]) ** 2, -1))
+        v1, f1, g1 = emd2_warmup_pallas(c, eps=1e-3, num_iters=30,
+                                        num_scales=4, interpret=True)
+        for i in range(b):
+            v2, f2, g2 = emd2_approx(c[i:i + 1], eps=1e-3, num_iters=30,
+                                     num_scales=4, return_potentials=True)
+            np.testing.assert_allclose(float(v1[i]), float(v2[0]), rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(f1[i]), np.asarray(f2[0]),
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(g1[i]), np.asarray(g2[0]),
+                                       atol=1e-4)
