@@ -155,6 +155,10 @@ def _hybrid_assignment(cost, eps_final, sink_eps=1e-5, sink_iters=100,
     # the VMEM-resident Pallas schedule replaces ~2*iters HBM sweeps of the
     # XLA loop whenever one (N, M) problem fits on-chip
     if (jax.default_backend() == "tpu" and cost.ndim == 3
+            # big single problems only: the grid runs one (N, M) block per
+            # item sequentially, which loses to the batched XLA sweep for
+            # small matrices (the B=128, N=128 trainer case)
+            and cost.shape[-2] * cost.shape[-1] >= 512 * 512
             and warmup_supported(cost.shape[-2], cost.shape[-1])):
         _, f, g = emd2_warmup_pallas(
             jax.lax.stop_gradient(cost), eps=sink_eps,

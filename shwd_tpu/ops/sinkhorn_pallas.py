@@ -392,7 +392,7 @@ def _make_warmup_kernel(n: int, m: int, m_pad: int, num_iters: int,
             return acc + jnp.sum(p * cb)
 
         val = jax.lax.fori_loop(0, nblk, vblk, jnp.float32(0.0))
-        val_ref[0, 0] = val
+        val_ref[0] = jnp.full((8, 128), val, jnp.float32)
 
     return kernel
 
@@ -425,16 +425,15 @@ def emd2_warmup_pallas(cost: jax.Array, eps: float = 1e-5,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, m_pad), lambda i: (i, 0, 0))],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, n, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 8, m_pad), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, n, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32),
         ],
         interpret=interpret,
     )(cost_p)
-    return val[:, 0], f[:, :, 0], g[:, 0, :m]
+    return val[:, 0, 0], f[:, :, 0], g[:, 0, :m]
