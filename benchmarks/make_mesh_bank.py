@@ -69,25 +69,50 @@ def _bump_field(rng, verts, n_bumps, amp, sharp):
     return 1.0 + (amps * np.exp((cos - 1.0) / widths[None, :] ** 2)).sum(1)
 
 
+def _chiral_lobes(rng, verts):
+    """Two large protruding lobes at jittered +x / +z directions with
+    DISTINCT amplitudes: the orientation landmarks that make pose
+    identifiable. Mirrors the synthetic 'composite' design
+    (shwd_tpu/data/synthetic.py:86-103) — gentle bump fields alone leave
+    PCRNet a ~40-degree rotation floor (measured, meshbank r4 first cut)."""
+    d1 = np.array([1.0, 0.0, 0.0]) + 0.2 * rng.normal(size=3)
+    d2 = np.array([0.0, 0.3, 1.0]) + 0.2 * rng.normal(size=3)
+    d3 = np.array([0.0, -1.0, 0.2]) + 0.2 * rng.normal(size=3)
+    for d in (d1, d2, d3):
+        d /= np.linalg.norm(d)
+    a1 = rng.uniform(1.1, 1.5)
+    a2 = rng.uniform(0.65, 0.95)
+    a3 = rng.uniform(0.35, 0.55)
+    w1 = rng.uniform(0.35, 0.50)
+    w2 = rng.uniform(0.30, 0.45)
+    w3 = rng.uniform(0.25, 0.40)
+    return (a1 * np.exp((verts @ d1 - 1.0) / w1 ** 2)
+            + a2 * np.exp((verts @ d2 - 1.0) / w2 ** 2)
+            + a3 * np.exp((verts @ d3 - 1.0) / w3 ** 2))
+
+
 def make_mesh(rng, cls, base_verts, faces):
     v = base_verts.copy()
+    lobes = _chiral_lobes(rng, v)
     if cls == "blob":
-        r = _bump_field(rng, v, 8, 0.35, 0.55)
+        r = 1.0 + lobes + (_bump_field(rng, v, 8, 0.3, 0.55) - 1.0)
     elif cls == "spiky":
-        r = _bump_field(rng, v, 20, 0.45, 0.22)
+        r = 1.0 + lobes + (_bump_field(rng, v, 20, 0.35, 0.22) - 1.0)
     elif cls == "twisted":
-        r = _bump_field(rng, v, 6, 0.3, 0.5)
+        r = 1.0 + lobes + (_bump_field(rng, v, 6, 0.25, 0.5) - 1.0)
     elif cls == "boxy":
         e = rng.uniform(3.0, 6.0)
         q = (np.abs(v) ** e).sum(1) ** (1.0 / e)
-        r = _bump_field(rng, v, 4, 0.2, 0.6) / q
+        r = (1.0 + lobes) * _bump_field(rng, v, 4, 0.15, 0.6) / q
     elif cls == "peanut":
         axis = rng.normal(size=3)
         axis /= np.linalg.norm(axis)
         t = v @ axis
-        r = (0.75 + 0.55 * t * t) * _bump_field(rng, v, 5, 0.2, 0.5)
+        r = (0.75 + 0.55 * t * t) * (1.0 + lobes) \
+            * _bump_field(rng, v, 5, 0.15, 0.5)
     else:
         raise ValueError(cls)
+    r = np.maximum(r, 0.15)                       # keep star-shaped/genus-0
     v = v * r[:, None]
     if cls == "twisted":
         ang = rng.uniform(1.0, 2.2) * v[:, 2]

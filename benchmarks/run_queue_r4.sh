@@ -56,3 +56,10 @@ log "O: reconstruct + eval the N=1024 run if stage B was timeout-killed"
 timeout 300 python -u benchmarks/reconstruct_row.py bench_w_cos_1024_ssw w_cos_1024_ssw 1024 ssw
 timeout 1200 python -u benchmarks/eval_checkpoint.py bench_w_cos_1024_ssw
 log "queue fully done"
+
+log "C2: meshbank production chain N=128 (chiral bank, 2000 epochs)"
+timeout 3000 python -u benchmarks/meshbank_bench.py 128 2000
+
+log "D2: meshbank production chain N=1024 (chiral bank, ssw, 2000 epochs)"
+timeout 3600 python -u benchmarks/meshbank_bench.py 1024 2000 ssw
+log "queue completely done"

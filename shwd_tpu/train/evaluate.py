@@ -70,7 +70,10 @@ def evaluate(cfg: TrainConfig, state=None, checkpoint: Optional[str] = None,
     rots, transs = [], []
     key = jax.random.PRNGKey(cfg.seed + 999)
     last = None
-    for batch in ds.batches(key, np.arange(len(ds)), bs, shuffle=False):
+    # drop_remainder=False: a test split smaller than the batch size (e.g.
+    # the 20-mesh OFF-bank test split at batch 32) must still evaluate
+    for batch in ds.batches(key, np.arange(len(ds)), bs, shuffle=False,
+                            drop_remainder=False):
         r, t, transformed = errors_step(state, batch)
         rots.append(np.asarray(r))
         transs.append(np.asarray(t))
