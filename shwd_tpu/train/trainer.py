@@ -134,6 +134,7 @@ class Trainer:
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._eval)
         self._fused_epoch = jax.jit(self._epoch_scan)
+        self._fused_eval = jax.jit(self._eval_epoch_scan)
 
     def _shard_batch(self, batch: RegistrationBatch) -> RegistrationBatch:
         """Place a host batch on the mesh: batch axis over 'data' when it
@@ -201,6 +202,44 @@ class Trainer:
         state, losses = jax.lax.scan(body, state, (idx_mat, keys))
         return state, jnp.mean(losses)
 
+    def _eval_epoch_scan(self, state, bank_src, bank_tgt, idx_full, keys_full,
+                         idx_tail, key_tail):
+        """Whole validation pass in ONE dispatch: lax.scan over the full
+        batches plus an in-graph remainder batch (drop_remainder=False
+        semantics). Per-batch eval dispatches cost ~0.2 s tunnel RTT each —
+        at 4 val batches that was the bulk of every training epoch's wall
+        time."""
+        from ..data.transforms import make_registration_batch
+        tr = self.cfg.dataset.transform
+
+        def make(idx, k):
+            return make_registration_batch(k, bank_tgt[idx], bank_src[idx], tr)
+
+        def body(c, xs):
+            idx, k = xs
+            batch = make(idx, k)
+            if self._batch_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, self._batch_sharding)
+            l, r, t = self._eval(state, batch)
+            return c, jnp.stack([l, r, t])
+
+        tot = jnp.zeros((3,), jnp.float32)
+        count = 0.0
+        if idx_full.shape[0] > 0:
+            _, vals = jax.lax.scan(body, 0.0, (idx_full, keys_full))
+            tot = tot + jnp.sum(vals, axis=0) * idx_full.shape[1]
+            count += idx_full.shape[0] * idx_full.shape[1]
+        if idx_tail.shape[0] > 0:
+            batch = make(idx_tail, key_tail)
+            if self._repl_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, self._repl_sharding)
+            l, r, t = self._eval(state, batch)
+            tot = tot + jnp.stack([l, r, t]) * idx_tail.shape[0]
+            count += idx_tail.shape[0]
+        return tot / count
+
     # -- epoch drivers -----------------------------------------------------
 
     def init_state(self, key: jax.Array) -> TrainState:
@@ -240,12 +279,18 @@ class Trainer:
             return state, 0.0
         idx_mat = jnp.asarray(idx[:n_batches * bs].reshape(n_batches, bs))
         keys = jax.random.split(key, n_batches)
-        # bank cache lives on the Trainer (not the dataset object): device
-        # placement depends on this trainer's mesh, and mutating a shared
-        # dataset would leak one trainer's placement into another's run
-        # cache key includes a cheap content fingerprint so a caller mutating
-        # dataset.sources/targets between fit() calls cannot silently train on
-        # stale on-device banks (ADVICE r3)
+        bank_src, bank_tgt = self._banks(dataset)
+        state, mean_loss = self._fused_epoch(state, bank_src, bank_tgt,
+                                             idx_mat, keys)
+        return state, float(mean_loss)
+
+    def _banks(self, dataset):
+        """On-device cloud banks. The cache lives on the Trainer (not the
+        dataset object): device placement depends on this trainer's mesh,
+        and mutating a shared dataset would leak one trainer's placement
+        into another's run. The key includes a cheap content fingerprint so
+        a caller mutating dataset.sources/targets between fit() calls cannot
+        silently train on stale banks (ADVICE r3)."""
         fp = (id(dataset), len(dataset),
               dataset.sources.ctypes.data if hasattr(dataset.sources, "ctypes")
               else id(dataset.sources),
@@ -259,10 +304,7 @@ class Trainer:
                 src = jax.device_put(src, self._repl_sharding)
                 tgt = jax.device_put(tgt, self._repl_sharding)
             self._bank_cache = (fp, (src, tgt))
-        bank_src, bank_tgt = self._bank_cache[1]
-        state, mean_loss = self._fused_epoch(state, bank_src, bank_tgt,
-                                             idx_mat, keys)
-        return state, float(mean_loss)
+        return self._bank_cache[1]
 
     def _dump_nan_forensics(self, state, batch, loss):
         """Reference nan_check semantics
@@ -289,6 +331,22 @@ class Trainer:
         still evaluates (the round-1 empty-val bug); raises rather than
         silently returning 0.0 when there is nothing to evaluate.
         """
+        if self.cfg.fused_epoch:
+            idx = np.array(indices)
+            if len(idx) == 0:
+                raise ValueError(
+                    "validation set produced no batches — check val_split / "
+                    "batch_size (the val index set itself is empty)")
+            bs = self.cfg.batch_size
+            n_full = len(idx) // bs
+            keys = jax.random.split(key, n_full + 1)
+            bank_src, bank_tgt = self._banks(dataset)
+            out = self._fused_eval(
+                state, bank_src, bank_tgt,
+                jnp.asarray(idx[:n_full * bs].reshape(n_full, bs)),
+                keys[:n_full], jnp.asarray(idx[n_full * bs:]), keys[n_full])
+            l, r, t = np.asarray(out)
+            return float(l), float(r), float(t)
         loss_sum = rot_sum = trans_sum = 0.0
         n_items = 0
         for batch in dataset.batches(key, indices, self.cfg.batch_size,
