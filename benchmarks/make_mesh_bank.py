@@ -18,8 +18,11 @@ import sys
 import numpy as np
 
 CLASSES = ("blob", "spiky", "twisted", "boxy", "peanut")
-TRAIN_PER_CLASS = 16
-TEST_PER_CLASS = 4
+# 640 meshes: the 100-mesh bank trains only 2 batch-32 steps/epoch — an
+# lr/batch regime the canonical config was never tuned for (measured ~25-deg
+# plateau); 512 train meshes restore the batch-128, multi-step regime
+TRAIN_PER_CLASS = 104
+TEST_PER_CLASS = 24
 
 
 def icosphere(subdiv: int = 3):

@@ -42,6 +42,12 @@ shwd = SHWDConfig(
     max_iter=1, lam=1.3111961119405346e-05, phi_lr=9.213233310357477e-05,
     phi_weight_decay=1.4096013153858628e-08)
 
+_probe_ds = RegistrationDataset(
+    DatasetConfig(source_point_num=N, target_point_num=N,
+                  modelnet_root=ROOT, cache_dir=CACHE,
+                  transform=TransformConfig(noise_sigma=0.02)), "train")
+BATCH = 128 if len(_probe_ds) >= 256 else 32
+
 cfg = TrainConfig(
     experiment=f"meshbank_w_cos_{N}",
     log_dir="log",
@@ -52,13 +58,13 @@ cfg = TrainConfig(
         modelnet_root=ROOT, cache_dir=CACHE,
         transform=TransformConfig(noise_sigma=0.02)),
     num_epochs=EPOCHS,
-    batch_size=32,                   # 100-mesh bank: train split is 64 items
+    batch_size=BATCH,
     pcr_iteration_num=3,
     nan_guard=False,
 )
 
 tr = Trainer(cfg)
-ds = RegistrationDataset(cfg.dataset, "train")
+ds = _probe_ds
 print(f"bank: {len(ds)} meshes at N={N} via {ROOT} (production OFF chain)",
       flush=True)
 t0 = time.perf_counter()

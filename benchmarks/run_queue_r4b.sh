@@ -45,3 +45,11 @@ log "N: solver parity at N=1024"
 timeout 2400 python -u benchmarks/solver_parity_1024.py
 
 log "queue v2 done"
+
+log "C3: meshbank 640-mesh bank N=128 (canonical batch-128 regime, 800 epochs)"
+rm -rf meshbank_cache
+timeout 2700 python -u benchmarks/meshbank_bench.py 128 800
+
+log "D3: meshbank 640-mesh bank N=1024 (ssw, 800 epochs)"
+timeout 3600 python -u benchmarks/meshbank_bench.py 1024 800 ssw
+log "queue v2 + mesh retries done"
