@@ -1,0 +1,96 @@
+"""Train the best max_ssw probe variant to the flagship budget (VERDICT r4 #8).
+
+Reads the 60-epoch batch-3 probe histories (log/probe_{J,K,L}*/metrics.jsonl,
+plus the r3 winner E's pinned config as baseline), picks the variant with the
+best (min over epochs) rotation error, trains it for 800 epochs and appends
+the row to benchmarks/registration_tpu.json as criterion 'max_ssw'.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+from shwd_tpu.losses.ssw_loss import MaxSSWConfig
+from shwd_tpu.train import TrainConfig, Trainer
+
+VARIANTS = {
+    "E_mlp_lr9e-5_it1": ("mlp", MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=9.213233310357477e-05)),
+    "J_mlp_lr9e-5_L512": ("mlp", MaxSSWConfig(
+        num_projections=512, max_iter=1, phi_lr=9.213233310357477e-05)),
+    "K_enc_lr9e-5_it1": ("encoder_flow", MaxSSWConfig(
+        num_projections=100, max_iter=1, phi_lr=9.213233310357477e-05)),
+    "L_mlp_lr3e-4_L256": ("mlp", MaxSSWConfig(
+        num_projections=256, max_iter=1, phi_lr=3e-4)),
+}
+
+
+def probe_best(name):
+    p = Path("log") / f"probe_{name}" / "metrics.jsonl"
+    if not p.exists():
+        return None
+    vals = [json.loads(l)["rot_error"] for l in p.read_text().splitlines()
+            if "rot_error" in l]
+    return min(vals) if vals else None
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    scores = {}
+    for name in VARIANTS:
+        b = probe_best(name)
+        if b is not None:
+            scores[name] = b
+    # E has no probe dir under this name: its 30/60-epoch history exists as
+    # probe_E_old_lr9e-5_it1 from the r3 sweep
+    e_b = probe_best("E_old_lr9e-5_it1")
+    if e_b is not None:
+        scores["E_mlp_lr9e-5_it1"] = min(
+            scores.get("E_mlp_lr9e-5_it1", 1e9), e_b)
+    if not scores:
+        raise SystemExit("no probe histories found")
+    winner = min(scores, key=scores.get)
+    print("probe scores:", json.dumps(scores), "-> winner:", winner, flush=True)
+    chart, mcfg = VARIANTS[winner]
+
+    cfg = TrainConfig(
+        experiment="bench_max_ssw",
+        log_dir="log",
+        criterion="max_ssw", max_ssw_chart=chart, max_ssw=mcfg,
+        dataset=DatasetConfig(
+            source_point_num=128, target_point_num=128, num_synthetic=2048,
+            synthetic_kinds=("composite",), cache_dir="modelnet_cache",
+            transform=TransformConfig(noise_sigma=0.02)),
+        num_epochs=epochs, batch_size=128, pcr_iteration_num=3)
+    tr = Trainer(cfg)
+    ds = RegistrationDataset(cfg.dataset, "train")
+    t0 = time.perf_counter()
+    res = tr.fit(ds, verbose=True)
+    dt = time.perf_counter() - t0
+    h = res["history"]
+    row = {
+        "criterion": "max_ssw", "epochs": epochs, "num_synthetic": 2048,
+        "variant": winner, "probe_scores_60ep": scores,
+        "total_s": dt, "s_per_epoch": dt / epochs,
+        "first_rot_error": h[0]["rot_error"],
+        "best_rot_error": res["best"]["rot"],
+        "best_trans_error": res["best"]["trans"],
+        "final_rot_error": h[-1]["rot_error"],
+        "final_trans_error": h[-1]["trans_error"],
+        "rot_curve_every10": [r["rot_error"] for r in h[::10]],
+    }
+    print(json.dumps(row), flush=True)
+    out = Path("benchmarks/registration_tpu.json")
+    rows = json.loads(out.read_text()) if out.exists() else []
+    rows = [r for r in rows if r["criterion"] != "max_ssw"]
+    rows.append(row)
+    out.write_text(json.dumps(rows, indent=1))
+    print("DONE max_ssw", flush=True)
+
+
+if __name__ == "__main__":
+    main()
