@@ -30,7 +30,7 @@ for exp in bench_cd bench_sinkhorn bench_w1_cos bench_pseudo_w_cos; do
 done
 
 log "J: max_ssw batch-3 probes (60 epochs)"
-timeout 2400 python -u benchmarks/probe_max_ssw.py 60 J_mlp_lr9e-5_L512 K_enc_lr9e-5_it1 L_mlp_lr3e-4_L256
+timeout 2400 python -u benchmarks/probe_max_ssw.py 60 J_mlp_lr9e-5_L512 K_enc_lr9e-5_it1 L_mlp_lr3e-4_L256 E_old_lr9e-5_it1
 
 log "K: flagship w_cos to the canonical 2000 epochs"
 timeout 7200 python -u benchmarks/train_bench.py w_cos 2000
