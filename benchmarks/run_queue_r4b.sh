@@ -38,23 +38,20 @@ timeout 7200 python -u benchmarks/train_bench.py w_cos 2000
 log "L: flagship held-out eval"
 timeout 900 python -u benchmarks/eval_checkpoint.py bench_w_cos
 
-log "M: discriminative HPO study (80-epoch trials)"
-timeout 3600 python -u benchmarks/hpo_smoke.py 12 80 hpo_study_80ep
-
-log "N: solver parity at N=1024"
-timeout 2400 python -u benchmarks/solver_parity_1024.py
-
-log "queue v2 done"
-
 log "C3: meshbank 640-mesh bank N=128 (canonical batch-128 regime, 2000 epochs)"
 rm -rf meshbank_cache
 timeout 2700 python -u benchmarks/meshbank_bench.py 128 2000
 
 log "D3: meshbank 640-mesh bank N=1024 (ssw, 2000 epochs)"
 timeout 3600 python -u benchmarks/meshbank_bench.py 1024 2000 ssw
-log "queue v2 + mesh retries done"
 
-log "P: final max_ssw run (probe winner, 800 epochs) + eval"
-timeout 4500 python -u benchmarks/final_max_ssw.py 800
+log "N: solver parity at N=1024"
+timeout 2400 python -u benchmarks/solver_parity_1024.py
+
+log "M: discriminative HPO study (80-epoch trials)"
+timeout 3600 python -u benchmarks/hpo_smoke.py 12 80 hpo_study_80ep
+
+log "P: final max_ssw run (probe winner, 600 epochs) + eval"
+timeout 4500 python -u benchmarks/final_max_ssw.py 600
 timeout 900 python -u benchmarks/eval_checkpoint.py bench_max_ssw
 log "all r4 stages done"
