@@ -207,3 +207,34 @@ def test_flow_driver_shwd_decreases():
                      shwd_layers=1, num_projections=30)
     res = run_flow(source, target, cfg)
     assert res.eval_values[-1] < res.eval_values[0]
+
+
+def test_fused_eval_matches_loop_on_deterministic_transforms():
+    """eval_one_epoch's one-dispatch fused path (scan + in-graph remainder)
+    computes the same sample-weighted means as the per-batch loop. Keys
+    differ between the paths by design, so the check uses a deterministic
+    transform (fixed angle, no noise, no translation)."""
+    import dataclasses
+    from shwd_tpu.data import DatasetConfig, RegistrationDataset, TransformConfig
+    from shwd_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        criterion="cd", batch_size=8, num_epochs=1,
+        dataset=DatasetConfig(
+            source_point_num=16, target_point_num=16, num_synthetic=20,
+            synthetic_kinds=("composite",),
+            transform=TransformConfig(angle_range_deg=30.0, fixed_angle=True,
+                                      rotation_axes="x", translation_range=0.0,
+                                      noise_sigma=0.0)))
+    ds = RegistrationDataset(cfg.dataset, "train")
+    idx = np.arange(len(ds))                   # 20 items -> 2 full + tail 4
+    key = jax.random.PRNGKey(7)
+
+    tr_fused = Trainer(cfg)
+    state = tr_fused.init_state(jax.random.PRNGKey(0))
+    fused = tr_fused.eval_one_epoch(state, ds, idx, key)
+
+    tr_loop = Trainer(dataclasses.replace(cfg, fused_epoch=False))
+    loop = tr_loop.eval_one_epoch(state, ds, idx, key)
+
+    np.testing.assert_allclose(fused, loop, rtol=1e-5, atol=1e-6)
