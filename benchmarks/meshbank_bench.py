@@ -28,6 +28,8 @@ from shwd_tpu.train.evaluate import evaluate
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 300
 SOLVER = sys.argv[3] if len(sys.argv) > 3 else ("ssw" if N >= 512 else "sinkhorn")
+LR = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-3
+SEED = int(sys.argv[5]) if len(sys.argv) > 5 else 1234
 
 ROOT = "mesh_bank"
 CACHE = "meshbank_cache"
@@ -59,6 +61,8 @@ cfg = TrainConfig(
         transform=TransformConfig(noise_sigma=0.02)),
     num_epochs=EPOCHS,
     batch_size=BATCH,
+    lr=LR,
+    seed=SEED,
     pcr_iteration_num=3,
     nan_guard=False,
 )
@@ -86,6 +90,7 @@ row = {
     "mesh_bank": f"{ROOT} (benchmarks/make_mesh_bank.py, 100 meshes)",
     "cache_npz_sha256_16": sha,
     "solver": SOLVER,
+    "lr": LR, "seed": SEED,
     "point_num": N,
     "epochs": EPOCHS,
     "num_synthetic": None,
