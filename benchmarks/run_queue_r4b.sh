@@ -49,9 +49,9 @@ log "N: solver parity at N=1024"
 timeout 2400 python -u benchmarks/solver_parity_1024.py
 
 log "M: discriminative HPO study (80-epoch trials)"
-timeout 3600 python -u benchmarks/hpo_smoke.py 12 80 hpo_study_80ep
+timeout 3600 python -u benchmarks/hpo_smoke.py 8 80 hpo_study_80ep
 
-log "P: final max_ssw run (probe winner, 500 epochs) + eval"
-timeout 4500 python -u benchmarks/final_max_ssw.py 500
+log "P: final max_ssw run (probe winner, 400 epochs) + eval"
+timeout 4500 python -u benchmarks/final_max_ssw.py 400
 timeout 900 python -u benchmarks/eval_checkpoint.py bench_max_ssw
 log "all r4 stages done"
