@@ -87,7 +87,8 @@ h = res["history"]
 row = {
     "criterion": f"w_cos_meshbank_{N}",
     "pipeline": "preprocess_modelnet(OFF)->RegistrationDataset->fit->evaluate",
-    "mesh_bank": f"{ROOT} (benchmarks/make_mesh_bank.py, 100 meshes)",
+    "mesh_bank": (f"{ROOT} (benchmarks/make_mesh_bank.py, "
+                  f"{sum(1 for _ in Path(ROOT).rglob('*.off'))} meshes)"),
     "cache_npz_sha256_16": sha,
     "solver": SOLVER,
     "lr": LR, "seed": SEED,
