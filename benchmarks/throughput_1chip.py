@@ -105,10 +105,18 @@ def run(name, B, N, solver, layers, pcr, ks=(4, 12, 20), reps=3):
         num_projections=tp.num_projections,
         sink_iters=tp.num_iters, sink_scales=tp.num_scales,
         auction_sweeps=128, max_iter=cfg.shwd.max_iter)
+    # A negative fit intercept means per-step time grows with chain length
+    # (the hybrid auction's sweep count varies with its keyed inputs), so a
+    # linear dispatch+slope model doesn't apply — report None and let the
+    # raw chain timings speak rather than publish a nonsense negative.
+    overhead = float(intercept) * 1e3
     row = {"config": name, "batch": B, "points": N, "solver": solver,
            "flow_layers": layers, "pcr_iters": pcr,
            "ms_per_step": step_s * 1e3, "clouds_per_second": B / step_s,
-           "dispatch_overhead_ms": float(intercept) * 1e3,
+           "dispatch_overhead_ms": overhead if overhead >= 0 else None,
+           **({"dispatch_note": "superlinear chain scaling; intercept "
+               f"{overhead:.0f} ms unphysical, see raw_best_seconds"}
+              if overhead < 0 else {}),
            "chain_lengths": list(ks),
            "raw_best_seconds": {str(k): best[k] for k in ks},
            **mfu(flops_step, step_s)}

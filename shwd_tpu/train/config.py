@@ -43,6 +43,14 @@ class TrainConfig:
     # model (--pcr_iteration_num)
     pcr_iteration_num: int = 3
 
+    # Best-checkpoint snapshots are tracked as on-device references and
+    # written to disk every this-many epochs (and always at the end of
+    # fit). 0 = end-of-fit only. Writing on every improving epoch — the
+    # reference's behavior (train_W_COS.py:198-235) — costs seconds per
+    # save over a remote-device link (per-leaf host fetches), which
+    # dominated short trainings.
+    checkpoint_flush_every: int = 500
+
     # phi / SHWD (--phi_*, --flow_name)
     shwd: SHWDConfig = SHWDConfig(
         transport=TransportConfig(cost="lp", p=2.0, solver="sinkhorn"),

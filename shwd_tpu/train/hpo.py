@@ -164,6 +164,14 @@ class Study:
                 for line in self._path.read_text().splitlines():
                     if line.strip():
                         self.trials.append(json.loads(line))
+                if self.trials:
+                    # a resumed study must not replay the original seeded
+                    # stream (it would re-draw the completed trials' exact
+                    # params); fold the loaded-trial count into the seed so
+                    # resumption continues with fresh, still-deterministic
+                    # suggestions
+                    self.sampler.rng = np.random.default_rng(
+                        [seed, len(self.trials)])
 
     # -- results -------------------------------------------------------------
 

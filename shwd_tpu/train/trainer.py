@@ -398,6 +398,22 @@ class Trainer:
             val_src = val_ds
 
         best = {"loss": np.inf, "rot": np.inf, "trans": np.inf}
+        # Best-state snapshots stay ON DEVICE: with functional updates a
+        # snapshot is just a reference to that epoch's immutable buffers,
+        # so tracking a new best is free. The host fetch + npz write costs
+        # seconds per save over a remote-device link (it dominated short
+        # trainings: 0.06s epochs, 7s saves), so disk flushes happen every
+        # cfg.checkpoint_flush_every epochs and at the end of fit — same
+        # three best-checkpoint families as train_W_COS.py:198-235.
+        snap_files = {"loss": "best_model_snap", "rot": "best_rot_error_snap",
+                      "trans": "best_trans_error_snap"}
+        pending_snaps: dict = {}
+
+        def flush_snaps():
+            for fam, (s, ep) in pending_snaps.items():
+                save_checkpoint(models_dir / snap_files[fam], s, ep)
+            pending_snaps.clear()
+
         history = []
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.perf_counter()
@@ -418,15 +434,16 @@ class Trainer:
                         strikes=state.crit_state.strikes + 1))
             if improved:
                 best["loss"] = val_loss
-                save_checkpoint(models_dir / "best_model_snap", state, epoch + 1)
+                pending_snaps["loss"] = (state, epoch + 1)
             if rot_err < best["rot"]:
                 best["rot"] = rot_err
-                save_checkpoint(models_dir / "best_rot_error_snap", state,
-                                epoch + 1)
+                pending_snaps["rot"] = (state, epoch + 1)
             if trans_err < best["trans"]:
                 best["trans"] = trans_err
-                save_checkpoint(models_dir / "best_trans_error_snap", state,
-                                epoch + 1)
+                pending_snaps["trans"] = (state, epoch + 1)
+            if (cfg.checkpoint_flush_every
+                    and (epoch + 1) % cfg.checkpoint_flush_every == 0):
+                flush_snaps()
 
             row = dict(epoch=epoch + 1, train_loss=train_loss,
                        val_loss=val_loss, best_loss=best["loss"],
@@ -440,4 +457,5 @@ class Trainer:
                 print(f"EPOCH:: {epoch+1}, Training Loss: {train_loss*100:.4f},"
                       f" Val Loss: {val_loss*100:.4f}, Rot error: {rot_err:.3f},"
                       f" Trans error: {trans_err:.4f}, Time: {dt:.2f}s")
+        flush_snaps()
         return {"best": best, "history": history, "state": state}

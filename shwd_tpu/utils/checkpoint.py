@@ -21,6 +21,9 @@ def save_checkpoint(path: str | Path, state: Any, epoch: int) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree.flatten(state)
+    # one batched device->host transfer instead of a per-leaf np.asarray
+    # round trip (each leaf fetch is a full RTT over a remote-device link)
+    leaves = jax.device_get(leaves)
     np.savez_compressed(
         str(path) + ".npz",
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
