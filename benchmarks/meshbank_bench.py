@@ -30,6 +30,8 @@ EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 300
 SOLVER = sys.argv[3] if len(sys.argv) > 3 else ("ssw" if N >= 512 else "sinkhorn")
 LR = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-3
 SEED = int(sys.argv[5]) if len(sys.argv) > 5 else 1234
+WD = float(sys.argv[6]) if len(sys.argv) > 6 else 1.4096013153858628e-08
+LAM = float(sys.argv[7]) if len(sys.argv) > 7 else 1.3111961119405346e-05
 
 ROOT = "mesh_bank"
 CACHE = "meshbank_cache"
@@ -41,7 +43,7 @@ if not Path(ROOT).exists():
 shwd = SHWDConfig(
     transport=TransportConfig(
         cost="geodesic" if SOLVER == "ssw" else "lp", p=2.0, solver=SOLVER),
-    max_iter=1, lam=1.3111961119405346e-05, phi_lr=9.213233310357477e-05,
+    max_iter=1, lam=LAM, phi_lr=9.213233310357477e-05,
     phi_weight_decay=1.4096013153858628e-08)
 
 _probe_ds = RegistrationDataset(
@@ -62,6 +64,7 @@ cfg = TrainConfig(
     num_epochs=EPOCHS,
     batch_size=BATCH,
     lr=LR,
+    weight_decay=WD,
     seed=SEED,
     pcr_iteration_num=3,
     nan_guard=False,
@@ -87,11 +90,16 @@ h = res["history"]
 row = {
     "criterion": f"w_cos_meshbank_{N}",
     "pipeline": "preprocess_modelnet(OFF)->RegistrationDataset->fit->evaluate",
-    "mesh_bank": (f"{ROOT} (benchmarks/make_mesh_bank.py, "
-                  f"{sum(1 for _ in Path(ROOT).rglob('*.off'))} meshes)"),
+    # mesh count from the npz cache actually trained on (len(ds) IS the
+    # cached train array's first axis) — NOT the live *.off count, which can
+    # drift from a stale cache (ADVICE r4)
+    "mesh_bank": (f"{ROOT} (benchmarks/make_mesh_bank.py; trained on "
+                  f"{len(ds)} cached train meshes, "
+                  f"{sum(1 for _ in Path(ROOT).rglob('*.off'))} *.off "
+                  "currently in the bank dir)"),
     "cache_npz_sha256_16": sha,
     "solver": SOLVER,
-    "lr": LR, "seed": SEED,
+    "lr": LR, "weight_decay": WD, "shwd_lambda": LAM, "seed": SEED,
     "point_num": N,
     "epochs": EPOCHS,
     "num_synthetic": None,

@@ -48,6 +48,19 @@ VARIANTS = {
         num_projections=100, max_iter=1, phi_lr=9.2e-5)),
     "L_mlp_lr3e-4_L256": dict(chart="mlp", cfg=MaxSSWConfig(
         num_projections=256, max_iter=1, phi_lr=3e-4)),
+    # batch 4 (r5, VERDICT r4 #4): the L=512 winner buys rotation by giving
+    # up translation 20x (held-out trans 0.084 vs 0.003-0.006 elsewhere).
+    # Hypothesis: the chart ascent erases translation-relevant signal, and
+    # more projections amplify the adversary. Sweep the adversary strength
+    # at L=512 with BOTH errors in the acceptance (combined score below).
+    "M_mlp_lr3e-5_L512": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=512, max_iter=1, phi_lr=3e-5)),
+    "O_mlp_frozen_L512": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=512, max_iter=0, phi_lr=9.2e-5)),
+    "P_mlp_lr9e-5_L512_p1": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=512, max_iter=1, phi_lr=9.2e-5, p=1.0)),
+    "Q_mlp_lr9e-5_L512_mb32": dict(chart="mlp", cfg=MaxSSWConfig(
+        num_projections=512, max_iter=1, phi_lr=9.2e-5, minibatch=32)),
 }
 
 
@@ -66,9 +79,16 @@ def run(name, chart, mcfg, epochs):
     res = tr.fit(ds, verbose=False)
     dt = time.perf_counter() - t0
     h = res["history"]
+    # combined acceptance (VERDICT r4 #4): rot AND trans on the SAME epoch —
+    # 100x weight makes 0.02 trans worth 2 deg rot
+    combined = min(r["rot_error"] + 100 * r["trans_error"] for r in h)
     row = {"variant": name, "epochs": epochs, "s_per_epoch": dt / epochs,
            "best_rot": res["best"]["rot"], "final_rot": h[-1]["rot_error"],
-           "rot_curve_every5": [r["rot_error"] for r in h[::5]]}
+           "best_trans": res["best"]["trans"],
+           "final_trans": h[-1]["trans_error"],
+           "best_combined_rot_plus_100trans": combined,
+           "rot_curve_every5": [r["rot_error"] for r in h[::5]],
+           "trans_curve_every5": [r["trans_error"] for r in h[::5]]}
     print(json.dumps(row), flush=True)
     return row
 

@@ -62,15 +62,29 @@ def main():
         print(f"exact {i}: {exact[-1]:.6f}", flush=True)
     exact = np.array(exact)
 
-    # annealed sinkhorn at the training default (50x4) and deep (150x10)
-    for name, (it, sc) in (("sinkhorn_50x4", (50, 4)),
-                           ("sinkhorn_150x10", (150, 10))):
-        vals = []
-        for i in range(PAIRS):
-            c = lp_cost(src[i:i+1], tgt[i:i+1], p=2.0)
-            v = emd2_approx(c, eps=5e-3, num_iters=it, num_scales=sc)
-            vals.append(float(v[0]) ** 0.5)
-        vals = np.array(vals)
+    # annealed sinkhorn at the training default (50x4) and deep (150x10),
+    # plus the DEBIASED divergence S = W(x,y) - (W(x,x)+W(y,y))/2 (VERDICT
+    # r4 #3: the sharp entropic cost has an O(eps) additive floor that
+    # dominates below ~5 deg misalignment; the self-terms cancel it)
+    from shwd_tpu.ops.sinkhorn import sinkhorn_divergence_cost
+
+    def sink(c, it, sc):
+        return float(emd2_approx(c, eps=5e-3, num_iters=it,
+                                 num_scales=sc)[0])
+
+    def sinkdiv(x1, y1, it, sc):
+        return float(sinkhorn_divergence_cost(
+            lp_cost(x1, y1, p=2.0), lp_cost(x1, x1, p=2.0),
+            lp_cost(y1, y1, p=2.0), eps=5e-3, num_iters=it,
+            num_scales=sc)[0])
+
+    for name, fn in (("sinkhorn_50x4", lambda i: sink(
+                        lp_cost(src[i:i+1], tgt[i:i+1], p=2.0), 50, 4)),
+                     ("sinkhorn_150x10", lambda i: sink(
+                        lp_cost(src[i:i+1], tgt[i:i+1], p=2.0), 150, 10)),
+                     ("sinkhorn_div_50x4", lambda i: sinkdiv(
+                        src[i:i+1], tgt[i:i+1], 50, 4))):
+        vals = np.array([max(fn(i), 0.0) ** 0.5 for i in range(PAIRS)])
         rel = np.abs(vals - exact) / exact
         rows[name] = {
             "rel_err_mean": float(rel.mean()), "rel_err_max": float(rel.max()),
@@ -98,7 +112,8 @@ def main():
     # target pose in steps; every criterion should decrease
     from shwd_tpu.ops.quaternion import euler_to_quaternion, quat_to_matrix
     angles = np.linspace(45.0, 0.0, 10)
-    traj = {"angles_deg": angles.tolist(), "exact": [], "sinkhorn": [], "ssw": []}
+    traj = {"angles_deg": angles.tolist(), "exact": [], "sinkhorn": [],
+            "sinkhorn_div": [], "ssw": []}
     base = tgt[0]
     for a in angles:
         R = quat_to_matrix(euler_to_quaternion(
@@ -108,18 +123,32 @@ def main():
         traj["exact"].append(float(hybrid_emd2(c)[0] ** 0.5))
         traj["sinkhorn"].append(float(emd2_approx(c, eps=5e-3, num_iters=50,
                                                   num_scales=4)[0]) ** 0.5)
+        traj["sinkhorn_div"].append(
+            max(sinkdiv(rot[None], base[None], 50, 4), 0.0) ** 0.5)
         rn = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True).clip(1e-9)
         bn = base / jnp.linalg.norm(base, axis=-1, keepdims=True).clip(1e-9)
         traj["ssw"].append(float(
             sliced_wasserstein_sphere(key, rn, bn, 100, p=2)) ** 0.5)
     rows["trajectory"] = traj
+    # small-angle fidelity: rel err of each surrogate vs exact below 5 deg
+    small = [i for i, a in enumerate(angles) if 0 < a <= 5.0 or a == angles[-1]]
+    ex = np.array(traj["exact"])
+    for k in ("sinkhorn", "sinkhorn_div"):
+        v = np.array(traj[k])
+        rows[f"{k}_small_angle_rel_err"] = float(np.mean(
+            np.abs(v[small] - ex[small]) / np.maximum(ex[small], 1e-12)))
     print("trajectory done", flush=True)
 
+    div_ok = (rows["sinkhorn_div_small_angle_rel_err"]
+              < 0.2 * rows["sinkhorn_small_angle_rel_err"])
     out = {"points": N, "pairs": PAIRS,
            "exact_solver": "hybrid (Sinkhorn-warmed auction, exact permutation)",
-           "policy": "training at N>=512 uses solver='ssw' (w_cos criterion) "
-                     "or annealed 'sinkhorn'; dense exact hybrid reserved "
-                     "for N<=256 training and for evaluation",
+           "policy": ("training at N>=512 uses solver='ssw' (w_cos criterion)"
+                      + (" or debiased 'sinkhorn_div' (tracks exact below 5 "
+                         "deg where plain sinkhorn hits its entropic floor)"
+                         if div_ok else " or annealed 'sinkhorn'")
+                      + "; dense exact hybrid reserved for N<=256 training "
+                        "and for evaluation"),
            "rows": rows}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "solver_parity_1024.json")

@@ -58,7 +58,13 @@ def run(criterion: str, epochs: int, num_synthetic: int = 2048,
         max_ssw=MaxSSWConfig(num_projections=100, max_iter=1, phi_lr=9.2e-5),
         batch_size=128,
         pcr_iteration_num=3,
-        nan_guard=True,
+        # nan_guard forces the per-step (unfused) epoch path so the offending
+        # batch is identifiable — but per-batch dispatches cost ~0.2 s tunnel
+        # RTT each. The hybrid exact-EMD run pays real device time per step
+        # already (auction sweeps at early-epoch misalignment), so it uses
+        # the fused one-dispatch epoch; its permutation VJP has no
+        # logsumexp/NaN surface.
+        nan_guard=(solver != "hybrid"),
     )
     tr = Trainer(cfg)
     ds = RegistrationDataset(cfg.dataset, "train")

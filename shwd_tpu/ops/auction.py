@@ -31,15 +31,42 @@ import jax.numpy as jnp
 _NEG = -1e30
 
 
-def _auction_phase(cost, prices, eps, max_sweeps):
+def _owner_from_assign(assign, n, m):
+    """object->person map from person->object (dense one-hot, no scatter)."""
+    person_ids = jnp.arange(n, dtype=jnp.int32)
+    onehot = jax.nn.one_hot(jnp.where(assign >= 0, assign, m), m + 1,
+                            dtype=jnp.int32)[..., :m]          # (B, N, M)
+    return jnp.einsum("bnm,n->bm", onehot, person_ids + 1).astype(
+        jnp.int32) - 1
+
+
+def _auction_phase(cost, prices, eps, max_sweeps, assign0=None):
     """One eps-phase of synchronous auction. cost: (B, N, M) to MINIMIZE.
 
-    Starts with everyone unassigned; prices warm-started from the previous
-    phase. Returns (assignment (B, N) int32 person->object, prices, sweeps).
+    ``assign0``/``owner0`` carry the previous (larger-eps) phase's matching:
+    pairs that already satisfy eps-CS at THIS eps are kept and only the
+    violators re-enter the auction — the standard eps-scaling refinement.
+    (Profiled at the flagship config: restarting every phase from scratch
+    cost 1.9k sweeps, 1.2k of them re-discovering the first phase's matching
+    — benchmarks/profile_hybrid.json deg45.) Prices are warm-started from
+    the previous phase either way. Returns (assignment (B, N) int32
+    person->object, prices, sweeps).
     """
     b, n, m = cost.shape
     dtype = cost.dtype
     benefit = -cost                                   # maximize benefit
+
+    if assign0 is None:
+        assign0 = jnp.full((b, n), -1, jnp.int32)
+    else:
+        # eps-CS screen: keep pairs with value within eps of the row best
+        value0 = benefit - prices[:, None, :]
+        best0 = jnp.max(value0, axis=-1)              # (B, N)
+        v_own = jnp.take_along_axis(
+            value0, jnp.maximum(assign0, 0)[..., None], axis=-1)[..., 0]
+        keep = (assign0 >= 0) & (v_own >= best0 - eps)
+        assign0 = jnp.where(keep, assign0, -1)
+    owner0 = _owner_from_assign(assign0, n, m)
 
     def cond(carry):
         assign, owner, prices, sweeps = carry
@@ -86,8 +113,6 @@ def _auction_phase(cost, prices, eps, max_sweeps):
 
         return assign_new, new_owner, new_prices, sweeps + 1
 
-    assign0 = jnp.full((b, n), -1, jnp.int32)
-    owner0 = jnp.full((b, m), -1, jnp.int32)
     assign, owner, prices, sweeps = jax.lax.while_loop(
         cond, body, (assign0, owner0, prices, jnp.zeros((), jnp.int32)))
     return assign, prices, sweeps
@@ -118,8 +143,11 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
 
     def phase(carry):
         done, eps, prices, assign, total = carry
+        # the phase keeps the previous phase's eps-CS-valid pairs (the
+        # first phase sees all -1 and starts cold)
         assign, prices, s = _auction_phase(
-            cost, prices, jnp.maximum(eps, eps_final), max_sweeps)
+            cost, prices, jnp.maximum(eps, eps_final), max_sweeps,
+            assign0=assign)
         return (eps <= eps_final, eps / scale_factor, prices, assign,
                 total + s)
 
@@ -127,7 +155,7 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
         eps0 = c_range / 8.0
     if prices0 is None:
         prices0 = jnp.zeros((b, m), cost.dtype)
-    assign0 = jnp.zeros((b, n), jnp.int32)
+    assign0 = jnp.full((b, n), -1, jnp.int32)
     done, eps, prices, assign, total = jax.lax.while_loop(
         cond, phase,
         (jnp.zeros((), bool), jnp.asarray(eps0, cost.dtype), prices0,

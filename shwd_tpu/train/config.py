@@ -44,12 +44,14 @@ class TrainConfig:
     pcr_iteration_num: int = 3
 
     # Best-checkpoint snapshots are tracked as on-device references and
-    # written to disk every this-many epochs (and always at the end of
-    # fit). 0 = end-of-fit only. Writing on every improving epoch — the
-    # reference's behavior (train_W_COS.py:198-235) — costs seconds per
-    # save over a remote-device link (per-leaf host fetches), which
-    # dominated short trainings.
-    checkpoint_flush_every: int = 500
+    # written to disk every this-many epochs, on any exit from the epoch
+    # loop (incl. exceptions/KeyboardInterrupt via try/finally), and always
+    # at the end of fit. 0 = end-of-fit only. Writing on every improving
+    # epoch — the reference's behavior (train_W_COS.py:198-235) — costs
+    # seconds per save over a remote-device link (per-leaf host fetches),
+    # which dominated short trainings; 50 bounds the durability loss of a
+    # SIGKILLed run to 50 epochs of improvements.
+    checkpoint_flush_every: int = 50
 
     # phi / SHWD (--phi_*, --flow_name)
     shwd: SHWDConfig = SHWDConfig(

@@ -415,47 +415,68 @@ class Trainer:
             pending_snaps.clear()
 
         history = []
-        for epoch in range(start_epoch, cfg.num_epochs):
-            t0 = time.perf_counter()
-            key, k_train, k_val = jax.random.split(key, 3)
-            state, train_loss = self.train_one_epoch(
-                state, train_ds, train_idx, k_train, rng)
-            val_loss, rot_err, trans_err = self.eval_one_epoch(
-                state, val_src, val_idx, k_val)
-            dt = time.perf_counter() - t0
+        # exception/^C-safe flush (ADVICE r4): a timeout-killed
+        # (SIGTERM/KeyboardInterrupt) or crashed run still writes every best
+        # state tracked so far; only SIGKILL can lose improvements since the
+        # last periodic flush. SIGTERM does not unwind Python frames by
+        # default, so convert it to KeyboardInterrupt for the duration of
+        # the fit (the project queue kills long stages with `timeout`).
+        import signal
 
-            improved = val_loss < best["loss"]
-            if not improved and self._early_stop_enabled:
-                # early-stop variant (regulation.py:795-855): a non-improving
-                # epoch counts a strike; past the limit the SHWD inner
-                # adversarial loop is skipped (lax.cond in SHWDLoss.apply)
-                state = state._replace(
-                    crit_state=state.crit_state._replace(
-                        strikes=state.crit_state.strikes + 1))
-            if improved:
-                best["loss"] = val_loss
-                pending_snaps["loss"] = (state, epoch + 1)
-            if rot_err < best["rot"]:
-                best["rot"] = rot_err
-                pending_snaps["rot"] = (state, epoch + 1)
-            if trans_err < best["trans"]:
-                best["trans"] = trans_err
-                pending_snaps["trans"] = (state, epoch + 1)
-            if (cfg.checkpoint_flush_every
-                    and (epoch + 1) % cfg.checkpoint_flush_every == 0):
-                flush_snaps()
+        def _term(signum, frame):
+            raise KeyboardInterrupt("SIGTERM")
 
-            row = dict(epoch=epoch + 1, train_loss=train_loss,
-                       val_loss=val_loss, best_loss=best["loss"],
-                       rot_error=rot_err, best_rot_error=best["rot"],
-                       trans_error=trans_err, best_trans_error=best["trans"],
-                       seconds=dt)
-            history.append(row)
-            logger.log(row)
-            if verbose:
-                # reference prints losses x100 (train_W_COS.py:248)
-                print(f"EPOCH:: {epoch+1}, Training Loss: {train_loss*100:.4f},"
-                      f" Val Loss: {val_loss*100:.4f}, Rot error: {rot_err:.3f},"
-                      f" Trans error: {trans_err:.4f}, Time: {dt:.2f}s")
-        flush_snaps()
+        try:
+            old_term = signal.signal(signal.SIGTERM, _term)
+        except ValueError:          # not the main thread
+            old_term = None
+        try:
+            for epoch in range(start_epoch, cfg.num_epochs):
+                t0 = time.perf_counter()
+                key, k_train, k_val = jax.random.split(key, 3)
+                state, train_loss = self.train_one_epoch(
+                    state, train_ds, train_idx, k_train, rng)
+                val_loss, rot_err, trans_err = self.eval_one_epoch(
+                    state, val_src, val_idx, k_val)
+                dt = time.perf_counter() - t0
+
+                improved = val_loss < best["loss"]
+                if not improved and self._early_stop_enabled:
+                    # early-stop variant (regulation.py:795-855): a
+                    # non-improving epoch counts a strike; past the limit the
+                    # SHWD inner adversarial loop is skipped (lax.cond in
+                    # SHWDLoss.apply)
+                    state = state._replace(
+                        crit_state=state.crit_state._replace(
+                            strikes=state.crit_state.strikes + 1))
+                if improved:
+                    best["loss"] = val_loss
+                    pending_snaps["loss"] = (state, epoch + 1)
+                if rot_err < best["rot"]:
+                    best["rot"] = rot_err
+                    pending_snaps["rot"] = (state, epoch + 1)
+                if trans_err < best["trans"]:
+                    best["trans"] = trans_err
+                    pending_snaps["trans"] = (state, epoch + 1)
+                if (cfg.checkpoint_flush_every
+                        and (epoch + 1) % cfg.checkpoint_flush_every == 0):
+                    flush_snaps()
+
+                row = dict(epoch=epoch + 1, train_loss=train_loss,
+                           val_loss=val_loss, best_loss=best["loss"],
+                           rot_error=rot_err, best_rot_error=best["rot"],
+                           trans_error=trans_err,
+                           best_trans_error=best["trans"], seconds=dt)
+                history.append(row)
+                logger.log(row)
+                if verbose:
+                    # reference prints losses x100 (train_W_COS.py:248)
+                    print(f"EPOCH:: {epoch+1}, Training Loss: "
+                          f"{train_loss*100:.4f}, Val Loss: {val_loss*100:.4f},"
+                          f" Rot error: {rot_err:.3f},"
+                          f" Trans error: {trans_err:.4f}, Time: {dt:.2f}s")
+        finally:
+            flush_snaps()
+            if old_term is not None:
+                signal.signal(signal.SIGTERM, old_term)
         return {"best": best, "history": history, "state": state}
