@@ -43,7 +43,7 @@ def _owner_from_assign(assign, n, m):
 def _auction_phase(cost, prices, eps, max_sweeps, assign0=None):
     """One eps-phase of synchronous auction. cost: (B, N, M) to MINIMIZE.
 
-    ``assign0``/``owner0`` carry the previous (larger-eps) phase's matching:
+    ``assign0`` carries the previous (larger-eps) phase's matching:
     pairs that already satisfy eps-CS at THIS eps are kept and only the
     violators re-enter the auction — the standard eps-scaling refinement.
     (Profiled at the flagship config: restarting every phase from scratch
@@ -118,6 +118,21 @@ def _auction_phase(cost, prices, eps, max_sweeps, assign0=None):
     return assign, prices, sweeps
 
 
+# NOTE (r5): a synchronous forward/REVERSE auction phase (Bertsekas &
+# Castanon 1992 — unassigned objects cut prices to end bidding wars) was
+# implemented and measured here: in lockstep Jacobi form the two halves
+# fight (reverse price cuts re-trigger forward bidding on the same
+# objects), and sweep counts EXPLODED 50-100x vs forward-only (60k vs 139
+# at B=4 N=16; one config failed to produce a permutation at the sweep
+# cap). The fw/rev win is inherently sequential: its switching rule needs
+# per-stall alternation that dense synchronized sweeps cannot express.
+# Removed; forward-only + eps-scaling + Sinkhorn-warmed prices stands.
+# A per-item sweep histogram (same probe) shows the batch tail gates the
+# while_loop (median 201 / p90 640 / max 1408 sweeps at 45-deg
+# misalignment); chunked or gathered straggler solving models out at only
+# ~1.5x because per-sweep cost shrinks sublinearly below B~32 on the VPU.
+
+
 @functools.partial(jax.jit, static_argnames=("scale_factor", "max_sweeps"))
 def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
                        scale_factor: float = 6.0, max_sweeps: int = 2000,
@@ -136,6 +151,7 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
     assert n == m, "auction solves the equal-size assignment case"
     c_range = jax.lax.stop_gradient(
         jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12))
+    phase_fn = _auction_phase
 
     def cond(carry):
         done, *_ = carry
@@ -145,7 +161,7 @@ def auction_assignment(cost: jax.Array, eps_final: float = 1e-6,
         done, eps, prices, assign, total = carry
         # the phase keeps the previous phase's eps-CS-valid pairs (the
         # first phase sees all -1 and starts cold)
-        assign, prices, s = _auction_phase(
+        assign, prices, s = phase_fn(
             cost, prices, jnp.maximum(eps, eps_final), max_sweeps,
             assign0=assign)
         return (eps <= eps_final, eps / scale_factor, prices, assign,
