@@ -80,11 +80,45 @@ class SHWDLoss:
         self.flow = flow
         self.cfg = cfg
         self.transport = make_transport(cfg.transport)
+        # hybrid exact-EMD solver: the inner-ascent solve and the final
+        # forward see the same clouds through phi one Adam step apart, so
+        # the second solve warm-restarts from the first's matching+duals
+        # (293 vs 1687 auction sweeps at the flagship config, identical
+        # values — ops/auction.py::hybrid_assignment_warm)
+        self._warm_hybrid = cfg.transport.solver == "hybrid"
         # coupled-L2 Adam, matching torch.optim.Adam(weight_decay=...) —
         # the reference's phi_op (train_W_COS.py:392, flow notebooks cell 6)
         from ..utils.optim import torch_adam
         self.opt = torch_adam(cfg.phi_lr, cfg.phi_weight_decay,
                               b1=cfg.phi_b1, b2=cfg.phi_b2)
+
+    def _transport_warm(self, sx, sy, warm):
+        """Hybrid-solver transport with warm matching threading. Value and
+        batch-mean reduction match make_transport's hybrid branch exactly;
+        the envelope gradient (plan/N) arises from differentiating the
+        gather at the stop-gradiented optimal permutation."""
+        import jax.numpy as jnp
+
+        from ..ops import cost_matrix as build_cost
+        from ..ops.auction import hybrid_assignment_warm
+
+        tp = self.cfg.transport
+        batched = sx.ndim == 3
+        if not batched:
+            sx, sy = sx[None], sy[None]
+        c = build_cost(sx, sy, tp.cost, tp.p)
+        assign, prices, _ = hybrid_assignment_warm(
+            c, warm[0], warm[1], eps_final=1e-7, sink_eps=tp.eps,
+            sink_iters=tp.num_iters, sink_scales=tp.num_scales)
+        val = jnp.take_along_axis(
+            c, assign[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        val = jnp.mean(val, axis=-1)
+        val = jnp.maximum(val, 1e-30) ** (1.0 / tp.p)
+        if tp.reduce == "mean":
+            val = jnp.mean(val)
+        elif tp.reduce == "sum":
+            val = jnp.sum(val)
+        return val, (assign, jax.lax.stop_gradient(prices))
 
     def init(self, key: jax.Array, x: Optional[jax.Array] = None,
              y: Optional[jax.Array] = None) -> SHWDState:
@@ -110,12 +144,23 @@ class SHWDLoss:
         s = self.flow(params, fstate, jnp.concatenate([x, y], axis=-2))
         return s[..., :n, :], s[..., n:, :]
 
-    def _inner_objective(self, params, fstate, x, y, lam, key):
-        """phi's ascent objective: lam * reg - W (minimized => W maximized)."""
+    def _inner_objective(self, params, fstate, x, y, lam, key, warm=None):
+        """phi's ascent objective: lam * reg - W (minimized => W maximized).
+
+        Returns (objective, new_warm); ``new_warm`` is the hybrid solver's
+        matching state (passed through unchanged for other solvers)."""
         sx, sy = self._flow_pair(params, fstate, x, y)
-        w = self.transport(sx, sy, key)
+        if self._warm_hybrid and warm is not None:
+            w, warm = self._transport_warm(sx, sy, warm)
+        else:
+            w = self.transport(sx, sy, key)
         reg = lam * (sphere_regularizer(sx) + sphere_regularizer(sy))
-        return reg - w
+        return reg - w, warm
+
+    def _warm_sentinel(self, x):
+        from ..ops.auction import hybrid_warm_sentinel
+        b = x.shape[0] if x.ndim == 3 else 1
+        return hybrid_warm_sentinel(b, x.shape[-2], x.dtype)
 
     def _inner_scan(self, state: SHWDState, x, y):
         """max_iter adversarial steps on detached clouds via lax.scan."""
@@ -124,18 +169,20 @@ class SHWDLoss:
         cfg = self.cfg
 
         def step(carry, key):
-            params, fstate, opt_state = carry
-            grads = jax.grad(self._inner_objective)(
-                params, fstate, xd, yd, state.lam, key)
+            params, fstate, opt_state, warm = carry
+            grads, warm = jax.grad(self._inner_objective, has_aux=True)(
+                params, fstate, xd, yd, state.lam, key,
+                warm)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if cfg.power_iter_per_step > 0:
                 fstate = self.flow.update_state(params, fstate,
                                                 cfg.power_iter_per_step)
-            return (params, fstate, opt_state), None
+            return (params, fstate, opt_state, warm), None
 
         keys = jax.random.split(state.key, cfg.max_iter + 1)
-        carry = (state.phi_params, state.phi_state, state.opt_state)
+        warm0 = self._warm_sentinel(x) if self._warm_hybrid else None
+        carry = (state.phi_params, state.phi_state, state.opt_state, warm0)
         carry, _ = jax.lax.scan(step, carry, keys[:-1])
         return carry, keys[-1]
 
@@ -168,22 +215,30 @@ class SHWDLoss:
 
                 def _skip(_):
                     keys = jax.random.split(state.key, cfg.max_iter + 1)
+                    warm0 = (self._warm_sentinel(x) if self._warm_hybrid
+                             else None)
                     return ((state.phi_params, state.phi_state,
-                             state.opt_state), keys[-1])
+                             state.opt_state, warm0), keys[-1])
 
                 go = state.strikes <= cfg.early_stop_strikes
-                (params, fstate, opt_state), key = jax.lax.cond(
+                (params, fstate, opt_state, warm), key = jax.lax.cond(
                     go, _run, _skip, None)
             else:
-                ((params, fstate, opt_state),
+                ((params, fstate, opt_state, warm),
                  key) = self._inner_scan(state, x, y)
             lam = state.lam * cfg.lam_decay
             state = SHWDState(params, fstate, opt_state, lam,
                               state.strikes, key)
-        # final (undetached) forward — gradient path to x and y
+        else:
+            warm = self._warm_sentinel(x) if self._warm_hybrid else None
+        # final (undetached) forward — gradient path to x and y; the hybrid
+        # solver warm-restarts from the inner step's matching (train mode)
         k_final, k_next = jax.random.split(state.key)
         sx, sy = self._flow_pair(state.phi_params, state.phi_state, x, y)
-        w = self.transport(sx, sy, k_final)
+        if self._warm_hybrid:
+            w, _ = self._transport_warm(sx, sy, warm)
+        else:
+            w = self.transport(sx, sy, k_final)
         state = state._replace(key=k_next)
         return (w, sx, sy), state
 
