@@ -107,3 +107,67 @@ def test_sinkhorn_divergence_positive_and_below_biased():
     div = float(sinkhorn_divergence_cost(c_xy, c_xx, c_yy)[0])
     biased = float(emd2_approx(c_xy)[0])
     assert 0.0 < div < biased  # debiasing removes the entropic floor
+
+
+def test_warm_restart_matches_cold_and_simplex():
+    """Intra-step warm restart (r5): seeding the auction with a matching
+    from a nearby cost must change sweeps, never the value (exactness is
+    the eps ladder's job, the seed only skips rediscovery)."""
+    from shwd_tpu.ops.auction import hybrid_assignment_warm, \
+        hybrid_warm_sentinel, _assignment_cost
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (4, 48, 3))
+    y = x[:, ::-1] + 0.3 * jax.random.normal(jax.random.fold_in(key, 1),
+                                             (4, 48, 3))
+    c1 = cost_matrix(x, y, "lp", 2.0)
+    sent = hybrid_warm_sentinel(4, 48)
+    a1, p1, s1 = hybrid_assignment_warm(c1, *sent)
+
+    # drifted problem, one-phi-step scale
+    x2 = x + 1e-4 * jax.random.normal(jax.random.fold_in(key, 2), x.shape)
+    c2 = cost_matrix(x2, y, "lp", 2.0)
+    a_warm, _, s_warm = hybrid_assignment_warm(c2, a1, p1)
+    a_cold, _, s_cold = hybrid_assignment_warm(c2, *sent)
+
+    v_warm = np.asarray(_assignment_cost(c2, a_warm))
+    v_cold = np.asarray(_assignment_cost(c2, a_cold))
+    oracle = np.array([emd2_exact(np.asarray(c2[i], np.float64))
+                       for i in range(4)])
+    np.testing.assert_allclose(v_warm, v_cold, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(v_warm, oracle, rtol=0, atol=5e-5)
+    # each row of the warm result is a permutation
+    for i in range(4):
+        assert len(set(np.asarray(a_warm)[i].tolist())) == 48
+
+
+def test_shwd_hybrid_warm_threading_matches_unthreaded():
+    """SHWDLoss hybrid path: warm threading is bitwise-equivalent to the
+    make_transport path in loss, gradient and eval."""
+    from shwd_tpu.flows import make_flow
+    from shwd_tpu.losses import SHWDConfig, SHWDLoss, TransportConfig
+
+    cfg = SHWDConfig(
+        transport=TransportConfig(cost="lp", p=2.0, solver="hybrid"),
+        max_iter=2, lam=1.3e-5, phi_lr=9.2e-5)
+    flow = make_flow("Residual", 2)
+    crit_new = SHWDLoss(flow, cfg)
+    crit_old = SHWDLoss(flow, cfg)
+    crit_old._warm_hybrid = False          # the pre-r5 path
+
+    key = jax.random.PRNGKey(0)
+    state = crit_new.init(key)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 32, 3))
+    y = x + 0.05 * jax.random.normal(jax.random.fold_in(key, 2), x.shape)
+
+    def loss(crit, x):
+        (w, _, _), _ = crit.apply(state, x, y, True)
+        return w
+
+    v_new, g_new = jax.value_and_grad(lambda a: loss(crit_new, a))(x)
+    v_old, g_old = jax.value_and_grad(lambda a: loss(crit_old, a))(x)
+    assert float(v_new) == float(v_old)
+    np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_old))
+    (e_new, _, _), _ = crit_new.apply(state, x, y, False)
+    (e_old, _, _), _ = crit_old.apply(state, x, y, False)
+    assert float(e_new) == float(e_old)
