@@ -32,6 +32,8 @@ LR = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-3
 SEED = int(sys.argv[5]) if len(sys.argv) > 5 else 1234
 WD = float(sys.argv[6]) if len(sys.argv) > 6 else 1.4096013153858628e-08
 LAM = float(sys.argv[7]) if len(sys.argv) > 7 else 1.3111961119405346e-05
+BATCH_OVERRIDE = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+TAG = sys.argv[9] if len(sys.argv) > 9 else ""
 
 ROOT = "mesh_bank"
 CACHE = "meshbank_cache"
@@ -50,10 +52,15 @@ _probe_ds = RegistrationDataset(
     DatasetConfig(source_point_num=N, target_point_num=N,
                   modelnet_root=ROOT, cache_dir=CACHE,
                   transform=TransformConfig(noise_sigma=0.02)), "train")
-BATCH = 128 if len(_probe_ds) >= 256 else 32
+# Default batch 128 gives only len(ds)//128 optimizer steps per epoch — the
+# r4 w_cos_meshbank_128 curve shows a ~157-deg anti-aligned plateau that
+# only breaks after ~6k steps (epoch ~1500 at 4 steps/epoch). A smaller
+# batch reaches the same step count 4x earlier (and matches the reference's
+# step budget: ModelNet10 has 3991 train meshes -> 31 steps/epoch).
+BATCH = BATCH_OVERRIDE or (128 if len(_probe_ds) >= 256 else 32)
 
 cfg = TrainConfig(
-    experiment=f"meshbank_w_cos_{N}",
+    experiment=f"meshbank_w_cos_{N}{TAG}",
     log_dir="log",
     criterion="w_cos",
     shwd=shwd,
@@ -88,7 +95,8 @@ sha = hashlib.sha256(cache_file.read_bytes()).hexdigest()[:16] \
 
 h = res["history"]
 row = {
-    "criterion": f"w_cos_meshbank_{N}",
+    "criterion": f"w_cos_meshbank_{N}{TAG}",
+    "batch": BATCH,
     "pipeline": "preprocess_modelnet(OFF)->RegistrationDataset->fit->evaluate",
     # mesh count from the npz cache actually trained on (len(ds) IS the
     # cached train array's first axis) — NOT the live *.off count, which can
