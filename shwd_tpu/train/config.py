@@ -53,6 +53,14 @@ class TrainConfig:
     # SIGKILLed run to 50 epochs of improvements.
     checkpoint_flush_every: int = 50
 
+    # Optional 4th best-checkpoint family: min over epochs of
+    # (rot_error + w * trans_error) on the val pass. The reference tracks
+    # loss / rot / trans separately (train_W_COS.py:198-235), which cannot
+    # select a jointly-good epoch when the two errors anti-correlate (the
+    # max_ssw criterion's failure mode). 0 disables (default = reference
+    # parity); 100 weighs 0.01 translation error as 1 degree.
+    checkpoint_combined_weight: float = 0.0
+
     # phi / SHWD (--phi_*, --flow_name)
     shwd: SHWDConfig = SHWDConfig(
         transport=TransportConfig(cost="lp", p=2.0, solver="sinkhorn"),

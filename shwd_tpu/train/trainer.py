@@ -406,7 +406,9 @@ class Trainer:
         # cfg.checkpoint_flush_every epochs and at the end of fit — same
         # three best-checkpoint families as train_W_COS.py:198-235.
         snap_files = {"loss": "best_model_snap", "rot": "best_rot_error_snap",
-                      "trans": "best_trans_error_snap"}
+                      "trans": "best_trans_error_snap",
+                      "combined": "best_combined_snap"}
+        best["combined"] = np.inf
         pending_snaps: dict = {}
 
         def flush_snaps():
@@ -458,6 +460,11 @@ class Trainer:
                 if trans_err < best["trans"]:
                     best["trans"] = trans_err
                     pending_snaps["trans"] = (state, epoch + 1)
+                if cfg.checkpoint_combined_weight > 0:
+                    comb = rot_err + cfg.checkpoint_combined_weight * trans_err
+                    if comb < best["combined"]:
+                        best["combined"] = comb
+                        pending_snaps["combined"] = (state, epoch + 1)
                 if (cfg.checkpoint_flush_every
                         and (epoch + 1) % cfg.checkpoint_flush_every == 0):
                     flush_snaps()
