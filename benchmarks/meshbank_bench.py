@@ -34,6 +34,9 @@ WD = float(sys.argv[6]) if len(sys.argv) > 6 else 1.4096013153858628e-08
 LAM = float(sys.argv[7]) if len(sys.argv) > 7 else 1.3111961119405346e-05
 BATCH_OVERRIDE = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 TAG = sys.argv[9] if len(sys.argv) > 9 else ""
+# PCRNet pose iterations: the reference's model default is 8 and its
+# experiments sweep it (train_RUNNER.py:381-391 uses 3)
+PCR_ITERS = int(sys.argv[10]) if len(sys.argv) > 10 else 3
 
 ROOT = "mesh_bank"
 CACHE = "meshbank_cache"
@@ -73,7 +76,7 @@ cfg = TrainConfig(
     lr=LR,
     weight_decay=WD,
     seed=SEED,
-    pcr_iteration_num=3,
+    pcr_iteration_num=PCR_ITERS,
     nan_guard=False,
 )
 
@@ -109,6 +112,7 @@ row = {
     "solver": SOLVER,
     "lr": LR, "weight_decay": WD, "shwd_lambda": LAM, "seed": SEED,
     "point_num": N,
+    "pcr_iters": PCR_ITERS,
     "epochs": EPOCHS,
     "num_synthetic": None,
     "total_s": dt, "s_per_epoch": dt / EPOCHS,
