@@ -21,6 +21,7 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -31,25 +32,20 @@ CHAIN = 12
 
 
 def parse_xplane(path):
-    """xplane.pb -> [(op_name, total_us, count)] over device planes."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-    xs = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xs.ParseFromString(f.read())
+    """xplane.pb -> [(op_name, total_us, count)] over device planes.
+
+    Uses the first-party wire-format reader (``xplane_lite``) — the
+    image's TF 2.21 dropped the tensorflow xplane proto module.
+    """
+    from xplane_lite import parse_xplane_ops
     totals = {}
-    for plane in xs.planes:
-        name = plane.name.lower()
-        if not ("tpu" in name or "device" in name or "xla op" in name):
+    for name, ops in parse_xplane_ops(path):
+        low = name.lower()
+        if "/device:tpu" not in low:
             continue
-        if "host" in name:
-            continue
-        stats_meta = {k: v.name for k, v in plane.event_metadata.items()}
-        for line in plane.lines:
-            for ev in line.events:
-                op = stats_meta.get(ev.metadata_id, str(ev.metadata_id))
-                dur = ev.duration_ps / 1e6     # ps -> us
-                t, c = totals.get(op, (0.0, 0))
-                totals[op] = (t + dur, c + 1)
+        for op, (ps, c) in ops.items():
+            t, n = totals.get(op, (0.0, 0))
+            totals[op] = (t + ps / 1e6, n + c)
     return sorted(((k, v[0], v[1]) for k, v in totals.items()),
                   key=lambda r: -r[1])
 
@@ -127,6 +123,10 @@ def trace_config(name):
         except Exception as e:
             row["source"] = (f"ablation fallback ({type(e).__name__}: {e}) — "
                             "jax.profiler produced no parseable device plane")
+            row["ablation_note"] = ("single-dispatch timings: each value "
+                                    "includes the ~20-30 ms tunnel dispatch "
+                                    "floor (compare against pcrnet_fwd_ms as "
+                                    "the floor estimate)")
             row["ablation"] = ablation(name)
     return row
 
