@@ -180,8 +180,11 @@ def success_curves(out_dir):
         return
     fig, axes = plt.subplots(1, 2, figsize=(7.6, 3.2))
     for slot, d in enumerate(runs):
-        label = (f"{d['criterion']} "
-                 f"({d['mean_rot_error_deg']:.1f}°)")
+        # label by experiment (criterion collides: w_cos appears for the
+        # sinkhorn-trained, hybrid-trained and N=1024 runs)
+        name = d.get("experiment", d["criterion"])
+        name = name.replace("bench_", "")
+        label = f"{name} ({d['mean_rot_error_deg']:.1f}°)"
         axes[0].plot(d["rot_thresholds_deg"], d["rot_success_ratio"],
                      color=SLOTS[slot % len(SLOTS)], lw=1.8, label=label)
         axes[1].plot(d["trans_thresholds"], d["trans_success_ratio"],
