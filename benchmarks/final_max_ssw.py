@@ -123,9 +123,17 @@ def main():
     old = next((r for r in rows if r["criterion"] == "max_ssw"), None)
     marker = Path("benchmarks/.max_ssw_improved")
 
-    def score(r):      # same dual-error acceptance as the probes
-        return r.get("best_combined_rot_plus_100trans",
-                     r["best_rot_error"] + 100.0 * r["best_trans_error"])
+    def score(r):
+        """Same dual-error acceptance as the probes. For rows without the
+        combined field, recover the per-epoch joint min from the curves
+        when possible — best_rot + 100*best_trans mixes different epochs
+        and scores the old row optimistically (code-review r5)."""
+        if "best_combined_rot_plus_100trans" in r:
+            return r["best_combined_rot_plus_100trans"]
+        rc, tc = r.get("rot_curve_every10"), r.get("trans_curve_every10")
+        if rc and tc and len(rc) == len(tc):
+            return min(a + 100.0 * b for a, b in zip(rc, tc))
+        return r["best_rot_error"] + 100.0 * r["best_trans_error"]
 
     if old is not None and score(old) <= score(row):
         # keep the better committed run as the headline; record this attempt

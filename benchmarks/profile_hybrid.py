@@ -116,11 +116,11 @@ def main():
                 e /= 6.0
             ladder.append(1e-7)
             phase_rows = []
-            phase_fn = jax.jit(auc._auction_phase, static_argnames=())
+            phase_fn = jax.jit(lambda c, p, e: auc._auction_phase(
+                c, p, e, 4000))
             for e in ladder:
                 t, (assign, prices, sw) = bench(
-                    lambda c, p: auc._auction_phase(
-                        c, p, jnp.float32(e), 4000), c, prices, reps=3)
+                    phase_fn, c, prices, jnp.float32(e), reps=3)
                 phase_rows.append({"eps": e, "ms": t * 1e3,
                                    "sweeps": int(sw)})
             r["phase_ladder_cold_assign"] = phase_rows

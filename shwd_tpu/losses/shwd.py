@@ -107,11 +107,11 @@ class SHWDLoss:
         if not batched:
             sx, sy = sx[None], sy[None]
         c = build_cost(sx, sy, tp.cost, tp.p)
-        assign, prices, _ = hybrid_assignment_warm(
+        assign_value, assign, prices, _ = hybrid_assignment_warm(
             c, warm[0], warm[1], eps_final=1e-7, sink_eps=tp.eps,
             sink_iters=tp.num_iters, sink_scales=tp.num_scales)
         val = jnp.take_along_axis(
-            c, assign[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            c, assign_value[..., None].astype(jnp.int32), axis=-1)[..., 0]
         val = jnp.mean(val, axis=-1)
         val = jnp.maximum(val, 1e-30) ** (1.0 / tp.p)
         if tp.reduce == "mean":

@@ -192,6 +192,31 @@ def _assignment_cost(cost, assign):
     return jnp.mean(picked, axis=-1)
 
 
+def _sinkhorn_warm_prices(cost, sink_eps, sink_iters, sink_scales):
+    """Annealed-Sinkhorn dual potentials as auction starting prices.
+
+    Shared by the cold paths of ``_hybrid_assignment`` and
+    ``hybrid_assignment_warm``. The duals need no gradient (exactness
+    comes from the auction), so the VMEM-resident Pallas schedule replaces
+    ~2*iters HBM sweeps of the XLA loop whenever one (N, M) problem fits
+    on-chip; small matrices (the B=128, N=128 trainer case) stay on the
+    batched XLA sweep, which beats the one-block-per-item Pallas grid.
+    """
+    from .sinkhorn import emd2_approx
+    from .sinkhorn_pallas import emd2_warmup_pallas, warmup_supported
+    if (jax.default_backend() == "tpu" and cost.ndim == 3
+            and cost.shape[-2] * cost.shape[-1] >= 512 * 512
+            and warmup_supported(cost.shape[-2], cost.shape[-1])):
+        _, f, g = emd2_warmup_pallas(
+            jax.lax.stop_gradient(cost), eps=sink_eps,
+            num_iters=sink_iters, num_scales=sink_scales)
+    else:
+        _, f, g = emd2_approx(jax.lax.stop_gradient(cost), eps=sink_eps,
+                              num_iters=sink_iters, num_scales=sink_scales,
+                              return_potentials=True)
+    return jax.lax.stop_gradient(-g)      # benefit = -C; dual price ~ g
+
+
 def _hybrid_assignment(cost, eps_final, sink_eps=1e-5, sink_iters=100,
                        sink_scales=8, max_sweeps=4000):
     """Annealed-Sinkhorn duals -> auction cleanup. The Sinkhorn potentials
@@ -199,24 +224,7 @@ def _hybrid_assignment(cost, eps_final, sink_eps=1e-5, sink_iters=100,
     price-discovery phases and only resolves the near-ties the entropic
     plan mixes (the failure mode that costs synchronous auction ~50k sweeps
     from cold prices at awkward cost spreads)."""
-    from .sinkhorn import emd2_approx
-    from .sinkhorn_pallas import emd2_warmup_pallas, warmup_supported
-    # warm-up duals need no gradient (exactness comes from the auction), so
-    # the VMEM-resident Pallas schedule replaces ~2*iters HBM sweeps of the
-    # XLA loop whenever one (N, M) problem fits on-chip
-    if (jax.default_backend() == "tpu" and cost.ndim == 3
-            # big single problems only: the grid runs one (N, M) block per
-            # item sequentially, which loses to the batched XLA sweep for
-            # small matrices (the B=128, N=128 trainer case)
-            and cost.shape[-2] * cost.shape[-1] >= 512 * 512
-            and warmup_supported(cost.shape[-2], cost.shape[-1])):
-        _, f, g = emd2_warmup_pallas(
-            jax.lax.stop_gradient(cost), eps=sink_eps,
-            num_iters=sink_iters, num_scales=sink_scales)
-    else:
-        _, f, g = emd2_approx(cost, eps=sink_eps, num_iters=sink_iters,
-                              num_scales=sink_scales, return_potentials=True)
-    prices0 = jax.lax.stop_gradient(-g)      # benefit = -C; dual price ~ g
+    prices0 = _sinkhorn_warm_prices(cost, sink_eps, sink_iters, sink_scales)
     # start eps well below the cost range (the warm prices carry the coarse
     # structure) but high enough to repair unconverged duals on far clouds:
     # range/1e4 measured best across spreads (72-280 ms at N=1200 vs 60 s
@@ -301,9 +309,11 @@ def hybrid_assignment_warm(cost: jax.Array, assign0: jax.Array,
     identical values.
 
     NOT differentiable — callers take the value as
-    ``take_along_axis(cost, assign)`` on the *undetached* cost, which
-    reproduces the envelope gradient (d<P,C>/dC = P) through plain
-    autodiff. Returns (assign, prices, sweeps).
+    ``take_along_axis(cost, assign_value)`` on the *undetached* cost,
+    which reproduces the envelope gradient (d<P,C>/dC = P) through plain
+    autodiff. Returns (assign_value, assign_warm, prices, sweeps):
+    ``assign_value`` is argmin-patched for the gather; ``assign_warm``
+    keeps -1 for any sweep-cap stragglers so it is always a safe seed.
 
     (Distinct from the rounds-2-3 persistent-dual solver that carried
     state ACROSS criterion calls and lost — benchmarks/warm_timing.json:
@@ -315,32 +325,23 @@ def hybrid_assignment_warm(cost: jax.Array, assign0: jax.Array,
     b, n, m = cost.shape
     use_warm = jnp.any(assign0 >= 0)
 
-    def warm_prices(_):
-        return prices0
-
-    def cold_prices(_):
-        from .sinkhorn import emd2_approx
-        from .sinkhorn_pallas import emd2_warmup_pallas, warmup_supported
-        if (jax.default_backend() == "tpu" and n * m >= 512 * 512
-                and warmup_supported(n, m)):
-            _, f, g = emd2_warmup_pallas(cost, eps=sink_eps,
-                                         num_iters=sink_iters,
-                                         num_scales=sink_scales)
-        else:
-            _, f, g = emd2_approx(cost, eps=sink_eps, num_iters=sink_iters,
-                                  num_scales=sink_scales,
-                                  return_potentials=True)
-        return -g
-
-    prices = jax.lax.cond(use_warm, warm_prices, cold_prices, None)
+    prices = jax.lax.cond(
+        use_warm, lambda _: prices0,
+        lambda _: _sinkhorn_warm_prices(cost, sink_eps, sink_iters,
+                                        sink_scales), None)
     c_range = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12)
     eps0 = jnp.maximum(c_range * 1e-4, eps_final * 10.0).astype(cost.dtype)
     assign, prices, sweeps = auction_assignment(
         cost, eps_final, max_sweeps=max_sweeps, prices0=prices, eps0=eps0,
         assign0=jnp.where(use_warm, assign0, -1))
-    assign = jnp.where(assign < 0,
-                       jnp.argmin(cost, axis=-1).astype(jnp.int32), assign)
-    return assign, prices, sweeps
+    # Sweep-cap safety: unassigned persons take their row argmin for the
+    # VALUE gather only. The returned warm state keeps the -1s — an argmin
+    # fallback can claim an object twice, and a duplicated seed corrupts
+    # the next solve's one-hot owner rebuild (two person ids summing into
+    # a bogus owner); -1 seeds simply re-enter the auction.
+    assign_value = jnp.where(
+        assign < 0, jnp.argmin(cost, axis=-1).astype(jnp.int32), assign)
+    return assign_value, assign, prices, sweeps
 
 
 def hybrid_warm_sentinel(batch: int, n: int, dtype=jnp.float32):

@@ -430,8 +430,9 @@ class Trainer:
 
         try:
             old_term = signal.signal(signal.SIGTERM, _term)
+            term_installed = True
         except ValueError:          # not the main thread
-            old_term = None
+            old_term, term_installed = None, False
         try:
             for epoch in range(start_epoch, cfg.num_epochs):
                 t0 = time.perf_counter()
@@ -484,6 +485,11 @@ class Trainer:
                           f" Trans error: {trans_err:.4f}, Time: {dt:.2f}s")
         finally:
             flush_snaps()
-            if old_term is not None:
-                signal.signal(signal.SIGTERM, old_term)
+            if term_installed:
+                # restore keyed on "we installed", not "old was non-None"
+                # (signal.signal returns None when the previous disposition
+                # was set outside Python)
+                signal.signal(signal.SIGTERM,
+                              old_term if old_term is not None
+                              else signal.SIG_DFL)
         return {"best": best, "history": history, "state": state}

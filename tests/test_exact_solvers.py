@@ -122,13 +122,13 @@ def test_warm_restart_matches_cold_and_simplex():
                                              (4, 48, 3))
     c1 = cost_matrix(x, y, "lp", 2.0)
     sent = hybrid_warm_sentinel(4, 48)
-    a1, p1, s1 = hybrid_assignment_warm(c1, *sent)
+    a1v, a1, p1, s1 = hybrid_assignment_warm(c1, *sent)
 
     # drifted problem, one-phi-step scale
     x2 = x + 1e-4 * jax.random.normal(jax.random.fold_in(key, 2), x.shape)
     c2 = cost_matrix(x2, y, "lp", 2.0)
-    a_warm, _, s_warm = hybrid_assignment_warm(c2, a1, p1)
-    a_cold, _, s_cold = hybrid_assignment_warm(c2, *sent)
+    a_warm, a_warm_seed, _, s_warm = hybrid_assignment_warm(c2, a1, p1)
+    a_cold, _, _, s_cold = hybrid_assignment_warm(c2, *sent)
 
     v_warm = np.asarray(_assignment_cost(c2, a_warm))
     v_cold = np.asarray(_assignment_cost(c2, a_cold))
